@@ -1,0 +1,149 @@
+"""CPC InfoNCE tests: parity with a naive per-k reference implementation."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vectorquantizedcpc_tpu.configs import ConfCPC
+from vectorquantizedcpc_tpu.models.cpc import (
+    CPCParams,
+    cpc_apply,
+    cpc_apply_with_indices,
+    cpc_init,
+    sample_negative_indices,
+)
+
+
+CONF = ConfCPC(
+    n_prediction_steps=12,
+    n_speakers_per_batch=2,
+    n_utterances_per_speaker=3,
+    n_negatives=4,
+    z_dim=5,
+    c_dim=7,
+)
+
+
+def naive_reference(params, conf, z, c, utt_index, seq_index):
+    """Literal numpy transcription of the reference per-k loop
+    (model.py:191-316) given fixed negative indices."""
+    s, u = conf.n_speakers_per_batch, conf.n_utterances_per_speaker
+    k_steps = conf.n_prediction_steps // 2
+    t = z.shape[1]
+    length = t - k_steps
+    z4 = z.reshape(s, u, t, conf.z_dim)
+    c_trunc = c[:, :length, :]
+
+    losses, accs = [], []
+    for k in range(1, k_steps + 1):
+        z_shift = z4[:, :, k : length + k, :]  # (S, U, L, Z)
+        wc = (c_trunc @ np.asarray(params.w[k - 1]) + np.asarray(params.b[k - 1]))
+        wc = wc.reshape(s, u, length, conf.z_dim)
+
+        spk = np.arange(s).reshape(-1, 1, 1, 1)
+        utt = np.asarray(utt_index[k - 1]).reshape(1, u, conf.n_negatives, 1)
+        seq = np.asarray(seq_index[k - 1])  # (S, U, Neg, L)
+        z_neg = z_shift[spk, utt, seq, :]  # (S, U, Neg, L, Z)
+
+        zs = np.concatenate([z_shift[:, :, None], z_neg], axis=2)
+        f = np.sum(zs * wc[:, :, None] / math.sqrt(conf.z_dim), axis=-1)
+        f = f.reshape(s * u, conf.n_negatives + 1, length)
+
+        # cross_entropy with all-zero labels over axis 1.
+        fmax = f.max(axis=1, keepdims=True)
+        logsumexp = fmax[:, 0] + np.log(np.exp(f - fmax).sum(axis=1))
+        loss = np.mean(logsumexp - f[:, 0])
+        acc = np.mean(f.argmax(axis=1) == 0)
+        losses.append(loss)
+        accs.append(acc)
+    return np.mean(losses), np.array(accs)
+
+
+@pytest.fixture
+def setup(rng):
+    params = cpc_init(jax.random.key(0), CONF)
+    t = 20
+    z = rng.normal(size=(6, t, 5)).astype(np.float32)
+    c = rng.normal(size=(6, t, 7)).astype(np.float32)
+    return params, z, c
+
+
+def test_matches_naive_reference(setup):
+    params, z, c = setup
+    length = z.shape[1] - CONF.n_prediction_steps // 2
+    utt_index, seq_index = sample_negative_indices(CONF, jax.random.key(1), length)
+    loss, accs = cpc_apply_with_indices(
+        params, CONF, jnp.asarray(z), jnp.asarray(c), utt_index, seq_index
+    )
+    ref_loss, ref_accs = naive_reference(params, CONF, z, c, utt_index, seq_index)
+    assert float(loss) == pytest.approx(ref_loss, rel=1e-5)
+    np.testing.assert_allclose(np.asarray(accs), ref_accs, atol=1e-6)
+
+
+def test_param_shapes_full_predictor_stack():
+    """All 12 predictors exist (for checkpoint import) but only 6 are used."""
+    params = cpc_init(jax.random.key(0), CONF)
+    assert params.w.shape == (12, 7, 5)
+    assert params.b.shape == (12, 5)
+
+
+def test_unused_predictors_get_no_gradient(setup):
+    params, z, c = setup
+
+    def f(p):
+        loss, _ = cpc_apply(p, CONF, jnp.asarray(z), jnp.asarray(c), jax.random.key(2))
+        return loss
+
+    g = jax.grad(f)(params)
+    k = CONF.n_prediction_steps // 2
+    assert float(jnp.abs(g.w[:k]).sum()) > 0
+    np.testing.assert_allclose(np.asarray(g.w[k:]), 0.0)
+
+
+def test_sample_distribution_bounds():
+    length = 14
+    utt, seq = sample_negative_indices(CONF, jax.random.key(3), length)
+    assert utt.shape == (6, 3, 4)
+    assert seq.shape == (6, 2, 3, 4, length)
+    assert int(utt.min()) >= 0 and int(utt.max()) < 3
+    assert int(seq.min()) >= 0 and int(seq.max()) < length
+
+
+def test_exclude_self_negatives(setup):
+    """With exclusion on, perfect predictions give near-perfect accuracy even
+    when negatives would otherwise collide with the positive."""
+    params, z, c = setup
+    loss_a, _ = cpc_apply(
+        params, CONF, jnp.asarray(z), jnp.asarray(c), jax.random.key(4),
+        exclude_self_negatives=False,
+    )
+    loss_b, _ = cpc_apply(
+        params, CONF, jnp.asarray(z), jnp.asarray(c), jax.random.key(4),
+        exclude_self_negatives=True,
+    )
+    # Both run and differ (some negative indices were rerouted).
+    assert np.isfinite(float(loss_a)) and np.isfinite(float(loss_b))
+
+
+def test_different_rng_different_loss(setup):
+    params, z, c = setup
+    l1, _ = cpc_apply(params, CONF, jnp.asarray(z), jnp.asarray(c), jax.random.key(5))
+    l2, _ = cpc_apply(params, CONF, jnp.asarray(z), jnp.asarray(c), jax.random.key(6))
+    assert float(l1) != float(l2)
+
+
+def test_jit_and_grad_finite(setup):
+    params, z, c = setup
+
+    @jax.jit
+    def f(p, z, c, key):
+        return cpc_apply(p, CONF, z, c, key)
+
+    loss, accs = f(params, jnp.asarray(z), jnp.asarray(c), jax.random.key(7))
+    assert np.isfinite(float(loss))
+    assert accs.shape == (6,)
+    assert float(accs.min()) >= 0 and float(accs.max()) <= 1

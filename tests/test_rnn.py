@@ -1,0 +1,117 @@
+"""RNN cell parity tests against torch.nn.LSTM/GRU (CPU golden reference)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vectorquantizedcpc_tpu.models.rnn import (
+    GRUParams,
+    LSTMParams,
+    bigru_apply,
+    gru_apply,
+    gru_init,
+    lstm_apply,
+    lstm_init,
+)
+
+torch = pytest.importorskip("torch")
+
+
+def _torch_lstm_to_params(tl):
+    return LSTMParams(
+        wx=jnp.asarray(tl.weight_ih_l0.detach().numpy().T),
+        wh=jnp.asarray(tl.weight_hh_l0.detach().numpy().T),
+        b=jnp.asarray((tl.bias_ih_l0 + tl.bias_hh_l0).detach().numpy()),
+    )
+
+
+def _torch_gru_to_params(tg, suffix="l0"):
+    return GRUParams(
+        wx=jnp.asarray(getattr(tg, f"weight_ih_{suffix}").detach().numpy().T),
+        wh=jnp.asarray(getattr(tg, f"weight_hh_{suffix}").detach().numpy().T),
+        bx=jnp.asarray(getattr(tg, f"bias_ih_{suffix}").detach().numpy()),
+        bh=jnp.asarray(getattr(tg, f"bias_hh_{suffix}").detach().numpy()),
+    )
+
+
+def test_lstm_matches_torch(rng):
+    torch.manual_seed(0)
+    tl = torch.nn.LSTM(16, 32, batch_first=True)
+    params = _torch_lstm_to_params(tl)
+
+    x = rng.normal(size=(3, 20, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref, (h_ref, c_ref) = tl(torch.from_numpy(x))
+    out, (h, c) = lstm_apply(params, jnp.asarray(x))
+
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h), h_ref[0].numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c), c_ref[0].numpy(), atol=1e-5)
+
+
+def test_gru_matches_torch(rng):
+    torch.manual_seed(1)
+    tg = torch.nn.GRU(12, 24, batch_first=True)
+    params = _torch_gru_to_params(tg)
+
+    x = rng.normal(size=(2, 15, 12)).astype(np.float32)
+    with torch.no_grad():
+        ref, h_ref = tg(torch.from_numpy(x))
+    out, h = gru_apply(params, jnp.asarray(x))
+
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h), h_ref[0].numpy(), atol=1e-5)
+
+
+def test_bigru_matches_torch(rng):
+    torch.manual_seed(2)
+    tg = torch.nn.GRU(10, 14, batch_first=True, bidirectional=True)
+    fwd = _torch_gru_to_params(tg, "l0")
+    bwd = _torch_gru_to_params(tg, "l0_reverse")
+
+    x = rng.normal(size=(2, 9, 10)).astype(np.float32)
+    with torch.no_grad():
+        ref, _ = tg(torch.from_numpy(x))
+    out = bigru_apply(fwd, bwd, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-5)
+
+
+def test_lstm_state_carryover_equals_full_run(rng):
+    """Chunked scan with carried state == single full-length scan.
+
+    This property underpins blockwise/streaming encode (SURVEY.md §5.7).
+    """
+    params = lstm_init(jax.random.key(0), 8, 16)
+    x = jnp.asarray(rng.normal(size=(2, 30, 8)).astype(np.float32))
+    full, _ = lstm_apply(params, x)
+    out1, state = lstm_apply(params, x[:, :13])
+    out2, _ = lstm_apply(params, x[:, 13:], state)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate([out1, out2], axis=1)),
+        np.asarray(full),
+        atol=1e-6,
+    )
+
+
+def test_gru_init_shapes():
+    p = gru_init(jax.random.key(0), 5, 7)
+    assert p.wx.shape == (5, 21) and p.wh.shape == (7, 21)
+    assert p.bx.shape == (21,) and p.bh.shape == (21,)
+
+
+def test_rnn_jit_and_grad(rng):
+    """Cells are differentiable and jittable (used inside the train step)."""
+    params = lstm_init(jax.random.key(3), 4, 6)
+    x = jnp.asarray(rng.normal(size=(2, 10, 4)).astype(np.float32))
+
+    @jax.jit
+    def loss_fn(p, x):
+        out, _ = lstm_apply(p, x)
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss_fn)(params, x)
+    assert g.wx.shape == params.wx.shape
+    assert np.isfinite(np.asarray(g.wh)).all()
+    assert float(jnp.abs(g.wx).sum()) > 0

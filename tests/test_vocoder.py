@@ -1,0 +1,121 @@
+"""Vocoder tests: shapes, AR/teacher-forcing consistency, conditioning."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vectorquantizedcpc_tpu.configs import load_conf
+from vectorquantizedcpc_tpu.models.vocoder import (
+    build_conditioning,
+    vocoder_forward,
+    vocoder_generate,
+    vocoder_init,
+)
+
+
+@pytest.fixture(scope="module")
+def small_conf():
+    conf = load_conf(
+        [
+            "size_latent_codebook=12",
+            "dim_latent=8",
+            "training_vocoder.model.n_speakers=4",
+            "training_vocoder.model.network.dim_speaker_embedding=6",
+            "training_vocoder.model.network.rnnms.dim_voc_latent=16",
+            "training_vocoder.model.network.rnnms.wave_ar.size_i_embed_ar=10",
+            "training_vocoder.model.network.rnnms.wave_ar.size_h_rnn=20",
+            "training_vocoder.model.network.rnnms.wave_ar.size_h_fc=12",
+            "data.dataset.mel_stft_stride=4",  # tiny upsampling for tests
+        ]
+    )
+    return conf.training_vocoder.model.network
+
+
+@pytest.fixture(scope="module")
+def params(small_conf):
+    return vocoder_init(jax.random.key(0), small_conf)
+
+
+def test_conditioning_shapes(params, small_conf, rng):
+    z = jnp.asarray(rng.integers(0, 12, size=(2, 5)))
+    spk = jnp.asarray([0, 3])
+    cond = build_conditioning(params, small_conf, z, spk)
+    # 5 codes -> x2 -> 10 frames -> x4 hop -> 40 samples; dim_voc_latent=16.
+    assert cond.shape == (2, 40, 16)
+
+
+def test_forward_logit_shapes(params, small_conf, rng):
+    z = jnp.asarray(rng.integers(0, 12, size=(2, 5)))
+    spk = jnp.asarray([1, 2])
+    x = jnp.asarray(rng.integers(0, 256, size=(2, 40)))
+    logits = vocoder_forward(params, small_conf, x, z, spk)
+    assert logits.shape == (2, 40, 256)
+    assert logits.dtype == jnp.float32
+
+
+def test_generate_shapes_and_range(params, small_conf, rng):
+    z = jnp.asarray(rng.integers(0, 12, size=(2, 5)))
+    spk = jnp.asarray([0, 1])
+    wave = vocoder_generate(params, small_conf, z, spk, jax.random.key(1))
+    assert wave.shape == (2, 40)
+    assert float(jnp.abs(wave).max()) <= 1.0
+
+
+def test_generate_deterministic_given_key(params, small_conf, rng):
+    z = jnp.asarray(rng.integers(0, 12, size=(1, 4)))
+    spk = jnp.asarray([2])
+    w1 = vocoder_generate(params, small_conf, z, spk, jax.random.key(7))
+    w2 = vocoder_generate(params, small_conf, z, spk, jax.random.key(7))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    w3 = vocoder_generate(params, small_conf, z, spk, jax.random.key(8))
+    assert not np.array_equal(np.asarray(w1), np.asarray(w3))
+
+
+def test_ar_teacher_forcing_consistency(params, small_conf, rng):
+    """Teacher-forcing the generated samples reproduces generate's logits.
+
+    generate: input_t = [embed(s_{t-1}), cond_t] -> h_t -> logits_t.
+    forward on x = [s0_init, s_1..s_{T-1}] runs the identical recursion, so
+    its logits must match step for step. This pins the AR loop's wiring
+    (embedding split, projection hoisting, initial state).
+    """
+    z = jnp.asarray(rng.integers(0, 12, size=(1, 4)))
+    spk = jnp.asarray([0])
+    wave, samples, gen_logits = vocoder_generate(
+        params, small_conf, z, spk, jax.random.key(3), return_aux=True
+    )
+    n_classes = 256
+    teacher = jnp.concatenate(
+        [jnp.full((1, 1), n_classes // 2, jnp.int32), samples[:, :-1]], axis=1
+    )
+    fwd_logits = vocoder_forward(params, small_conf, teacher, z, spk)
+    np.testing.assert_allclose(
+        np.asarray(fwd_logits), np.asarray(gen_logits), atol=1e-4
+    )
+
+
+def test_speaker_changes_output(params, small_conf, rng):
+    """Voice conversion premise: same codes + different speaker -> different audio."""
+    z = jnp.asarray(rng.integers(0, 12, size=(1, 4)))
+    c1 = build_conditioning(params, small_conf, z, jnp.asarray([0]))
+    c2 = build_conditioning(params, small_conf, z, jnp.asarray([3]))
+    assert not np.allclose(np.asarray(c1), np.asarray(c2))
+
+
+def test_forward_grad_flows(params, small_conf, rng):
+    z = jnp.asarray(rng.integers(0, 12, size=(2, 4)))
+    spk = jnp.asarray([0, 1])
+    x = jnp.asarray(rng.integers(0, 256, size=(2, 32)))
+    target = jnp.asarray(rng.integers(0, 256, size=(2, 32)))
+
+    def loss_fn(p):
+        logits = vocoder_forward(p, small_conf, x, z, spk)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, target[..., None], axis=-1))
+
+    g = jax.grad(loss_fn)(params)
+    assert float(jnp.abs(g.ar_gru.wx).sum()) > 0
+    assert float(jnp.abs(g.code_embedding).sum()) > 0
+    assert float(jnp.abs(g.prenet_fwd[0].wx).sum()) > 0

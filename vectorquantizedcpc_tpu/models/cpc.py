@@ -1,0 +1,168 @@
+"""CPC InfoNCE loss with within-speaker negative sampling.
+
+Functional re-design of reference model.py:167-316 (CPCLoss). Differences in
+*implementation* (not semantics), chosen for TPU/XLA:
+
+- All K prediction steps are evaluated in ONE fused computation: the K
+  per-step Linear predictors are a stacked (K, C, Z) tensor applied via a
+  single einsum (MXU), the K time-shifted positive series are one gather,
+  and the negative gathers are batched over K. The reference loops over k in
+  Python (model.py:216-313) — fine on a GPU eager framework, wasteful under
+  XLA.
+- Negative sampling uses explicit JAX PRNG keys threaded by the caller
+  (reference uses global torch RNG, model.py:251-272); the sampled
+  *distribution* is identical: utterance indices uniform over [0, U) shared
+  across speakers, sequence indices uniform over [1, L) plus position,
+  modulo L. The reference's known self-negative quirk (a negative can
+  coincide with the positive; model.py:247-249) is reproduced by default and
+  fixable via ``exclude_self_negatives=True``.
+- The reference instantiates ``n_prediction_steps`` predictors but only uses
+  the first half (model.py:181,186-189). We keep both behaviors: params hold
+  the full stack so reference checkpoints import 1:1, and only the first
+  K = n_prediction_steps // 2 slices participate in the loss.
+"""
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..configs import ConfCPC
+
+
+@struct.dataclass
+class CPCParams:
+    w: jax.Array  # (n_prediction_steps, c_dim, z_dim) stacked predictors
+    b: jax.Array  # (n_prediction_steps, z_dim)
+
+
+def cpc_init(rng: jax.Array, conf: ConfCPC) -> CPCParams:
+    """torch.nn.Linear default init per predictor (U(-1/sqrt(c), 1/sqrt(c)))."""
+    k = conf.n_prediction_steps
+    bound = 1.0 / math.sqrt(conf.c_dim)
+    r1, r2 = jax.random.split(rng)
+    return CPCParams(
+        w=jax.random.uniform(
+            r1, (k, conf.c_dim, conf.z_dim), jnp.float32, -bound, bound
+        ),
+        b=jax.random.uniform(r2, (k, conf.z_dim), jnp.float32, -bound, bound),
+    )
+
+
+def sample_negative_indices(
+    conf: ConfCPC, rng: jax.Array, length: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Draw the negative-sample index tensors for one step.
+
+    Distribution identical to reference model.py:251-272: utterance indices
+    uniform over [0, U) shared across speakers; sequence indices uniform over
+    [1, L) plus the anchor position, modulo L.
+    """
+    s = conf.n_speakers_per_batch
+    u = conf.n_utterances_per_speaker
+    k_steps = conf.n_prediction_steps // 2
+    n_neg = conf.n_negatives
+
+    rng_utt, rng_seq = jax.random.split(rng)
+    utt_index = jax.random.randint(rng_utt, (k_steps, u, n_neg), 0, u)
+    seq_index = jax.random.randint(
+        rng_seq, (k_steps, s, u, n_neg, length), 1, length
+    )
+    seq_index = (seq_index + jnp.arange(length)) % length
+    return utt_index, seq_index
+
+
+def cpc_apply_with_indices(
+    params: CPCParams,
+    conf: ConfCPC,
+    z: jax.Array,
+    c: jax.Array,
+    utt_index: jax.Array,
+    seq_index: jax.Array,
+    exclude_self_negatives: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """InfoNCE scoring given precomputed negative indices (testable core)."""
+    s = conf.n_speakers_per_batch
+    u = conf.n_utterances_per_speaker
+    k_steps = conf.n_prediction_steps // 2
+    n_neg = conf.n_negatives
+    z_dim = conf.z_dim
+
+    t = z.shape[1]
+    length = t - k_steps
+
+    z = z.reshape(s, u, t, z_dim)
+    c = c[:, :length, :]  # anchors: contexts with >= k_steps future frames
+
+    # ---- Anchor predictions, all K at once: (K, S, U, L, Z). -------------
+    wc = jnp.einsum(
+        "btc,kcz->kbtz", c, params.w[:k_steps], preferred_element_type=jnp.float32
+    ) + params.b[:k_steps, None, None, :]
+    wc = wc.reshape(k_steps, s, u, length, z_dim)
+
+    # ---- Positive series, all K at once: z[t + k] for k = 1..K. ----------
+    # time_idx[k, l] = l + k + 1  -> (K, L) gather on the time axis.
+    time_idx = (
+        jnp.arange(length)[None, :] + jnp.arange(1, k_steps + 1)[:, None]
+    )  # (K, L)
+    z_shift = z[:, :, time_idx, :]  # (S, U, K, L, Z)
+    z_shift = jnp.moveaxis(z_shift, 2, 0)  # (K, S, U, L, Z)
+
+    if exclude_self_negatives:
+        # Optional fix for the reference's self-negative flaw: a sample is
+        # "self" iff it indexes the anchor's own utterance at its own
+        # time step; bump the time index by one (mod L) in that case.
+        same_utt = utt_index[:, None, :, :, None] == jnp.arange(u)[None, None, :, None, None]
+        same_t = seq_index == jnp.arange(length)
+        seq_index = jnp.where(same_utt & same_t, (seq_index + 1) % length, seq_index)
+
+    k_idx = jnp.arange(k_steps)[:, None, None, None, None]
+    spk_idx = jnp.arange(s)[None, :, None, None, None]
+    utt_idx = utt_index[:, None, :, :, None]
+    # Advanced-indexing gather (XLA gather op): (K, S, U, Neg, L, Z).
+    z_negatives = z_shift[k_idx, spk_idx, utt_idx, seq_index]
+
+    # ---- Similarities and InfoNCE. ---------------------------------------
+    zs = jnp.concatenate(
+        [z_shift[:, :, :, None, :, :], z_negatives], axis=3
+    )  # (K, S, U, 1+Neg, L, Z)
+    f = jnp.sum(
+        zs * wc[:, :, :, None, :, :], axis=-1
+    ) / math.sqrt(z_dim)  # (K, S, U, 1+Neg, L)
+    f = f.reshape(k_steps, s * u, 1 + n_neg, length)
+
+    # Positive is always class 0 (ordering of the concat above).
+    log_probs = jax.nn.log_softmax(f, axis=2)
+    loss_per_k = -jnp.mean(log_probs[:, :, 0, :], axis=(1, 2))  # (K,)
+    accuracies = jnp.mean(
+        (jnp.argmax(f, axis=2) == 0).astype(jnp.float32), axis=(1, 2)
+    )  # (K,)
+
+    return jnp.mean(loss_per_k), accuracies
+
+
+def cpc_apply(
+    params: CPCParams,
+    conf: ConfCPC,
+    z: jax.Array,
+    c: jax.Array,
+    rng: jax.Array,
+    exclude_self_negatives: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """InfoNCE over k = 1..n_prediction_steps//2 future steps.
+
+    Args:
+        z: (Spk*Utt, T, Z) quantized acoustic units.
+        c: (Spk*Utt, T, C) LSTM context.
+        rng: PRNG key for this step's negative sampling.
+    Returns:
+        (scalar loss, per-step accuracies (K,)).
+    """
+    k_steps = conf.n_prediction_steps // 2
+    length = z.shape[1] - k_steps
+    utt_index, seq_index = sample_negative_indices(conf, rng, length)
+    return cpc_apply_with_indices(
+        params, conf, z, c, utt_index, seq_index, exclude_self_negatives
+    )

@@ -1,0 +1,153 @@
+"""Recurrent cells (LSTM / GRU / biGRU) as lax.scan loops.
+
+TPU-first design notes:
+
+- The input projection ``x @ Wx`` has no time-step dependence, so it is
+  hoisted out of the scan into ONE large ``(B*T, D) @ (D, gates*H)`` matmul
+  that tiles onto the MXU. The scan body then only does the recurrent
+  ``h @ Wh`` matmul plus cheap VPU elementwise gate math.
+- Weight layouts are (in, out) so forward matmuls need no transpose.
+- Gate orders follow PyTorch conventions (LSTM: i,f,g,o; GRU: r,z,n) so that
+  reference checkpoints (reference model.py:57 LSTM, rnnms GRUs) import by
+  pure transpose, with no gate reshuffling.
+- Initialization matches torch.nn.LSTM/GRU defaults: U(-1/sqrt(H), 1/sqrt(H))
+  for every weight and bias, preserving training-from-scratch parity.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class LSTMParams:
+    wx: jax.Array  # (D, 4H) input kernel, gates ordered i,f,g,o
+    wh: jax.Array  # (H, 4H) recurrent kernel
+    b: jax.Array  # (4H,) combined bias (torch's b_ih + b_hh)
+
+
+@struct.dataclass
+class GRUParams:
+    wx: jax.Array  # (D, 3H) input kernel, gates ordered r,z,n
+    wh: jax.Array  # (H, 3H) recurrent kernel
+    bx: jax.Array  # (3H,) input bias (kept separate from bh: the candidate
+    bh: jax.Array  # (3H,) recurrent bias   gate applies r BETWEEN the biases)
+
+
+def lstm_init(rng: jax.Array, in_dim: int, hidden: int) -> LSTMParams:
+    k = 1.0 / jnp.sqrt(hidden)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    return LSTMParams(
+        wx=jax.random.uniform(r1, (in_dim, 4 * hidden), jnp.float32, -k, k),
+        wh=jax.random.uniform(r2, (hidden, 4 * hidden), jnp.float32, -k, k),
+        b=jax.random.uniform(r3, (2, 4 * hidden), jnp.float32, -k, k).sum(0),
+    )
+
+
+def gru_init(rng: jax.Array, in_dim: int, hidden: int) -> GRUParams:
+    k = 1.0 / jnp.sqrt(hidden)
+    r1, r2, r3, r4 = jax.random.split(rng, 4)
+    return GRUParams(
+        wx=jax.random.uniform(r1, (in_dim, 3 * hidden), jnp.float32, -k, k),
+        wh=jax.random.uniform(r2, (hidden, 3 * hidden), jnp.float32, -k, k),
+        bx=jax.random.uniform(r3, (3 * hidden,), jnp.float32, -k, k),
+        bh=jax.random.uniform(r4, (3 * hidden,), jnp.float32, -k, k),
+    )
+
+
+def lstm_apply(
+    params: LSTMParams,
+    x: jax.Array,
+    state: Optional[Tuple[jax.Array, jax.Array]] = None,
+    unroll: int = 8,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Run an LSTM over ``x`` of shape (B, T, D).
+
+    Returns (outputs (B, T, H), final (h, c)). Semantics match
+    torch.nn.LSTM(batch_first=True) with zero initial state (reference
+    model.py:57,69,86).
+    """
+    b, t, _ = x.shape
+    h_dim = params.wh.shape[0]
+    if state is None:
+        state = (
+            jnp.zeros((b, h_dim), x.dtype),
+            jnp.zeros((b, h_dim), x.dtype),
+        )
+
+    # Cast weights once so the scan carry keeps a stable dtype under bf16.
+    wx = params.wx.astype(x.dtype)
+    wh = params.wh.astype(x.dtype)
+    bias = params.b.astype(x.dtype)
+
+    # Hoisted input projection: one big MXU matmul over all timesteps.
+    xproj = x @ wx + bias  # (B, T, 4H)
+    xproj = jnp.swapaxes(xproj, 0, 1)  # (T, B, 4H) scan-major
+
+    def step(carry, xp_t):
+        h, c = carry
+        gates = xp_t + h @ wh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    state, out = jax.lax.scan(step, state, xproj, unroll=unroll)
+    return jnp.swapaxes(out, 0, 1), state
+
+
+def gru_step(
+    params: GRUParams, h: jax.Array, xproj_t: jax.Array
+) -> jax.Array:
+    """One GRU step given the precomputed input projection (x@wx + bx).
+
+    Exposed standalone because the autoregressive vocoder decode loop
+    (ops/ar_decode.py) re-uses exactly this body.
+    """
+    hproj = h @ params.wh.astype(h.dtype) + params.bh.astype(h.dtype)
+    xr, xz, xn = jnp.split(xproj_t, 3, axis=-1)
+    hr, hz, hn = jnp.split(hproj, 3, axis=-1)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
+def gru_apply(
+    params: GRUParams,
+    x: jax.Array,
+    h0: Optional[jax.Array] = None,
+    reverse: bool = False,
+    unroll: int = 8,
+) -> Tuple[jax.Array, jax.Array]:
+    """Run a GRU over ``x`` of shape (B, T, D); returns ((B, T, H), h_T)."""
+    b, t, _ = x.shape
+    h_dim = params.wh.shape[0]
+    if h0 is None:
+        h0 = jnp.zeros((b, h_dim), x.dtype)
+
+    xproj = x @ params.wx.astype(x.dtype) + params.bx.astype(x.dtype)
+    xproj = jnp.swapaxes(xproj, 0, 1)  # (T, B, 3H), hoisted MXU matmul
+
+    def step(h, xp_t):
+        h = gru_step(params, h, xp_t)
+        return h, h
+
+    h_last, out = jax.lax.scan(step, h0, xproj, reverse=reverse, unroll=unroll)
+    return jnp.swapaxes(out, 0, 1), h_last
+
+
+def bigru_apply(
+    fwd: GRUParams, bwd: GRUParams, x: jax.Array, unroll: int = 8
+) -> jax.Array:
+    """Bidirectional GRU layer: concat(forward, backward) features (B, T, 2H).
+
+    Matches torch.nn.GRU(bidirectional=True) output layout. Used by the
+    vocoder conditioning PreNet (reference config.py:71-73: 2-layer
+    bidirectional PreNet).
+    """
+    out_f, _ = gru_apply(fwd, x, unroll=unroll)
+    out_b, _ = gru_apply(bwd, x, reverse=True, unroll=unroll)
+    return jnp.concatenate([out_f, out_b], axis=-1)

@@ -1,0 +1,208 @@
+"""RNN_MS vocoder conditioned on VQ-CPC codes + speaker identity.
+
+Covers BOTH reference components in one place (they form one network):
+
+- the ``Vocoder`` wrapper (reference network_vocoder.py:11-78): code/speaker
+  embeddings, x2 nearest-neighbour code upsampling, speaker broadcast,
+  concat into a 128-dim conditioning series;
+- the external ``rnnms.RNNMSVocoder`` core the reference pins from
+  tarepan/UniversalVocoding (contract at reference config.py:63-77,
+  call sites network_vocoder.py:39,67,78): a 2-layer bidirectional-GRU
+  PreNet over the conditioning, x``hop_length`` time upsampling, and a
+  sample-level autoregressive GRU(896) -> FC(256) -> 2^bits-way softmax
+  over mu-law classes.
+
+TPU-first design:
+
+- Teacher-forced training is ONE scan whose input projections (for both the
+  AR sample embedding and the conditioning) are hoisted into large MXU
+  matmuls; only the 896-dim recurrent matmul stays inside the scan body.
+- Autoregressive generation precomputes (a) the conditioning contribution to
+  the GRU input projection for ALL samples in one matmul and (b) a
+  256-entry table ``embedding @ Wx_embed`` so each decode step reduces to a
+  table row gather + one (B, 896) x (896, 2688) matmul + the FC head.
+  ops/ar_decode.py fuses this loop into a single Pallas kernel with
+  VMEM-resident weights; this module provides the reference lax.scan path.
+"""
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..configs import ConfVocoderNetwork
+from .rnn import GRUParams, bigru_apply, gru_init, gru_step
+
+
+@struct.dataclass
+class VocoderParams:
+    code_embedding: jax.Array  # (size_i_codebook, dim_i_embedding)
+    speaker_embedding: jax.Array  # (n_speakers, dim_speaker_embedding)
+    # Conditioning PreNet: stacked bidirectional GRU layers.
+    prenet_fwd: Tuple[GRUParams, ...]
+    prenet_bwd: Tuple[GRUParams, ...]
+    # Sample-level AR network.
+    ar_embed: jax.Array  # (2^bits, size_i_embed_ar)
+    ar_gru: GRUParams  # (embed + latent) -> size_h_rnn
+    fc1_w: jax.Array  # (size_h_rnn, size_h_fc)
+    fc1_b: jax.Array
+    fc2_w: jax.Array  # (size_h_fc, 2^bits)
+    fc2_b: jax.Array
+
+
+def vocoder_init(rng: jax.Array, conf: ConfVocoderNetwork) -> VocoderParams:
+    rn = conf.rnnms
+    n_classes = 2**rn.bits_mu_law
+    half = rn.dim_voc_latent // 2  # per-direction PreNet width
+    ks = jax.random.split(rng, 10)
+
+    prenet_fwd, prenet_bwd = [], []
+    in_dim = rn.dim_i_feature
+    for i in range(rn.prenet.num_layers):
+        prenet_fwd.append(gru_init(ks[2 + 2 * i], in_dim, half))
+        prenet_bwd.append(gru_init(ks[3 + 2 * i], in_dim, half))
+        in_dim = 2 * half
+
+    def linear(key, shape):
+        bound = 1.0 / jnp.sqrt(shape[0])
+        return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+    wa = rn.wave_ar
+    return VocoderParams(
+        code_embedding=jax.random.normal(
+            ks[0], (conf.size_i_codebook, conf.dim_i_embedding)
+        ),
+        speaker_embedding=jax.random.normal(
+            ks[1], (conf.n_speakers, conf.dim_speaker_embedding)
+        ),
+        prenet_fwd=tuple(prenet_fwd),
+        prenet_bwd=tuple(prenet_bwd),
+        ar_embed=jax.random.normal(ks[6], (n_classes, wa.size_i_embed_ar)),
+        ar_gru=gru_init(
+            ks[7], wa.size_i_embed_ar + rn.dim_voc_latent, wa.size_h_rnn
+        ),
+        fc1_w=linear(ks[8], (wa.size_h_rnn, wa.size_h_fc)),
+        fc1_b=jnp.zeros((wa.size_h_fc,), jnp.float32),
+        fc2_w=linear(ks[9], (wa.size_h_fc, n_classes)),
+        fc2_b=jnp.zeros((n_classes,), jnp.float32),
+    )
+
+
+def build_conditioning(
+    params: VocoderParams,
+    conf: ConfVocoderNetwork,
+    z_indices: jax.Array,
+    speaker: jax.Array,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Codes + speaker -> sample-rate conditioning series (B, T_samples, V).
+
+    Pipeline (reference network_vocoder.py:54-67 then rnnms): embed codes,
+    x2 nearest upsample (undo the encoder's /2), broadcast speaker embed,
+    concat -> PreNet biGRU stack -> x ``upsampling_t`` nearest upsample.
+    """
+    z_embed = jnp.take(params.code_embedding, z_indices, axis=0)  # (B, Tz, E)
+    z_up = jnp.repeat(z_embed, 2, axis=1)  # nearest x2, == F.interpolate
+    spk = jnp.take(params.speaker_embedding, speaker, axis=0)  # (B, Es)
+    spk_up = jnp.broadcast_to(
+        spk[:, None, :], (z_up.shape[0], z_up.shape[1], spk.shape[-1])
+    )
+    cond = jnp.concatenate([z_up, spk_up], axis=-1).astype(compute_dtype)
+
+    for fwd, bwd in zip(params.prenet_fwd, params.prenet_bwd):
+        cond = bigru_apply(fwd, bwd, cond)
+
+    # Sample-rate upsampling: each frame conditions `upsampling_t` samples.
+    return jnp.repeat(cond, conf.rnnms.upsampling_t, axis=1)
+
+
+def vocoder_forward(
+    params: VocoderParams,
+    conf: ConfVocoderNetwork,
+    x_mulaw: jax.Array,
+    z_indices: jax.Array,
+    speaker: jax.Array,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Teacher-forced forward: logits over mu-law classes (B, T, 2^bits).
+
+    Parity with reference network_vocoder.py:41-67 + rnnms.forward: the AR
+    GRU consumes [embed(x_t), cond_t] and predicts x_{t+1}'s distribution.
+    """
+    cond = build_conditioning(params, conf, z_indices, speaker, compute_dtype)
+    t = x_mulaw.shape[1]
+    cond = cond[:, :t]  # guard: val utterances can be 1 frame short
+
+    x_embed = jnp.take(params.ar_embed, x_mulaw, axis=0).astype(compute_dtype)
+    inputs = jnp.concatenate([x_embed, cond], axis=-1)
+
+    gru = params.ar_gru
+    xproj = inputs @ gru.wx.astype(compute_dtype) + gru.bx.astype(compute_dtype)
+    xproj = jnp.swapaxes(xproj, 0, 1)  # (T, B, 3H)
+
+    h0 = jnp.zeros((x_mulaw.shape[0], gru.wh.shape[0]), compute_dtype)
+
+    def step(h, xp_t):
+        h = gru_step(gru, h, xp_t)
+        return h, h
+
+    _, hs = jax.lax.scan(step, h0, xproj, unroll=8)
+    hs = jnp.swapaxes(hs, 0, 1)  # (B, T, H)
+
+    hidden = jax.nn.relu(hs @ params.fc1_w.astype(compute_dtype) + params.fc1_b)
+    logits = hidden @ params.fc2_w.astype(compute_dtype) + params.fc2_b
+    return logits.astype(jnp.float32)
+
+
+def vocoder_generate(
+    params: VocoderParams,
+    conf: ConfVocoderNetwork,
+    z_indices: jax.Array,
+    speaker: jax.Array,
+    rng: jax.Array,
+    return_aux: bool = False,
+) -> jax.Array:
+    """Autoregressive generation -> linear waveform in [-1, 1] (B, T).
+
+    Reference lax.scan implementation (network_vocoder.py:69-78 +
+    rnnms.generate): one GRU step per 16 kHz sample, categorical sampling
+    from the softmax, mu-law expansion at the end. The Pallas fused-decode
+    kernel (ops/ar_decode.py) is the production path; this one is the
+    numerically-simple baseline both are tested against.
+    """
+    from ..dsp.mulaw import mulaw_decode
+
+    n_classes = 2 ** conf.rnnms.bits_mu_law
+    cond = build_conditioning(params, conf, z_indices, speaker)
+    b, t, _ = cond.shape
+    gru = params.ar_gru
+    embed_dim = params.ar_embed.shape[1]
+
+    # Hoisted input projections: conditioning part for ALL timesteps in one
+    # matmul; prev-sample part as a 2^bits-row lookup table.
+    wx_embed, wx_cond = gru.wx[:embed_dim], gru.wx[embed_dim:]
+    embed_proj = params.ar_embed @ wx_embed  # (2^bits, 3H)
+    cond_proj = cond @ wx_cond + gru.bx  # (B, T, 3H)
+    cond_proj = jnp.swapaxes(cond_proj, 0, 1)  # (T, B, 3H)
+
+    h0 = jnp.zeros((b, gru.wh.shape[0]), jnp.float32)
+    sample0 = jnp.full((b,), n_classes // 2, jnp.int32)  # mu-law silence
+    step_keys = jax.random.split(rng, t)
+
+    def step(carry, inputs):
+        h, prev = carry
+        cp_t, key = inputs
+        xp = jnp.take(embed_proj, prev, axis=0) + cp_t
+        h = gru_step(gru, h, xp)
+        hidden = jax.nn.relu(h @ params.fc1_w + params.fc1_b)
+        logits = hidden @ params.fc2_w + params.fc2_b
+        sample = jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+        return (h, sample), (sample, logits)
+
+    _, (samples, logits) = jax.lax.scan(step, (h0, sample0), (cond_proj, step_keys))
+    samples = jnp.swapaxes(samples, 0, 1)  # (B, T)
+    wave = mulaw_decode(samples, n_classes)
+    if return_aux:
+        return wave, samples, jnp.swapaxes(logits, 0, 1)
+    return wave
