@@ -1,0 +1,151 @@
+"""Data layer tests: synthetic corpus, preprocessing, datasets, loader."""
+
+import numpy as np
+import pytest
+
+from vectorquantizedcpc_tpu.configs import load_conf
+from vectorquantizedcpc_tpu.data.corpus import SyntheticCorpus, get_corpus
+from vectorquantizedcpc_tpu.data.datasets import (
+    CPCMelSpkDataset,
+    MulawMelSpkDataset,
+    random_split_indices,
+)
+from vectorquantizedcpc_tpu.data.loader import PrefetchLoader
+from vectorquantizedcpc_tpu.data.preprocess import preprocess_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    corpus = SyntheticCorpus(root, n_speakers=3, n_utterances=4, duration_s=1.7)
+    corpus.utterances()  # materialize wavs
+    return root
+
+
+@pytest.fixture(scope="module")
+def features_dir(corpus_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("features")
+    conf = load_conf([])
+    corpus = SyntheticCorpus(corpus_dir, n_speakers=3, n_utterances=4, duration_s=1.7)
+    preprocess_corpus(corpus, out, conf.data.dataset.preprocess, num_workers=1)
+    return out
+
+
+def test_synthetic_corpus_deterministic(corpus_dir):
+    c = SyntheticCorpus(corpus_dir, n_speakers=3, n_utterances=4)
+    utts = c.utterances()
+    assert len(utts) == 12
+    assert c.speakers() == ["V000", "V001", "V002"]
+    # Regenerating produces identical audio (pure function of indices).
+    w1 = c._generate(1, 2)
+    w2 = SyntheticCorpus("/tmp/other", n_speakers=3, n_utterances=4)._generate(1, 2)
+    np.testing.assert_array_equal(w1, w2)
+
+
+def test_preprocess_manifest_and_files(features_dir):
+    import json
+
+    with open(features_dir / "index.json") as f:
+        manifest = json.load(f)
+    assert len(manifest["utterances"]) == 12
+    assert manifest["speakers"] == ["V000", "V001", "V002"]
+    rec = manifest["utterances"][0]
+    mel = np.load(features_dir / rec["speaker"] / f"{rec['name']}.mel.npy")
+    mulaw = np.load(features_dir / rec["speaker"] / f"{rec['name']}.mulaw.npy")
+    assert mel.shape == (80, rec["n_frames"])
+    assert len(mulaw) == rec["n_samples"]
+    # 1.7 s at hop 160 -> 170 frames + 1.
+    assert rec["n_frames"] == 171
+    assert mulaw.dtype == np.int16
+
+
+def test_cpc_dataset_item_shapes(features_dir):
+    conf = load_conf(["training.cpc.sample_frames=32", "training.cpc.n_prediction_steps=12"])
+    ds = CPCMelSpkDataset(True, conf.data.dataset, features_dir, seed=0)
+    assert len(ds) == 3  # speakers
+    clips, spk = ds[0]
+    assert clips.shape == (8, 80, 44)  # 32 + 12 frames
+    assert clips.dtype == np.float32
+    assert spk == 0
+
+
+def test_cpc_dataset_epoch_resampling(features_dir):
+    conf = load_conf(["training.cpc.sample_frames=32"])
+    ds = CPCMelSpkDataset(True, conf.data.dataset, features_dir, seed=0)
+    a, _ = ds[0]
+    ds.set_epoch(1)
+    b, _ = ds[0]
+    assert not np.array_equal(a, b)
+    ds.set_epoch(0)
+    c, _ = ds[0]
+    np.testing.assert_array_equal(a, c)  # deterministic in (seed, epoch, idx)
+
+
+def test_mulaw_dataset_train_alignment(features_dir):
+    conf = load_conf([])  # clip_length_mel=32, hop=160
+    ds = MulawMelSpkDataset(True, conf.data.dataset, features_dir, seed=0)
+    audio, mel, spk = ds[0]
+    assert mel.shape == (80, 32)
+    assert audio.shape == (32 * 160 + 1,)
+    assert audio.dtype == np.int32
+    assert 0 <= audio.min() and audio.max() < 256
+
+
+def test_mulaw_dataset_val_full_length(features_dir):
+    conf = load_conf([])
+    ds = MulawMelSpkDataset(False, conf.data.dataset, features_dir, seed=0)
+    audio, mel, spk = ds[0]
+    assert mel.shape[1] % 2 == 0  # trimmed to even for the conv
+    assert len(audio) == mel.shape[1] * 160 + 1
+
+
+def test_random_split_deterministic():
+    tr1, va1 = random_split_indices(10, 3, seed=42)
+    tr2, va2 = random_split_indices(10, 3, seed=42)
+    assert tr1 == tr2 and va1 == va2
+    assert len(va1) == 3 and len(tr1) == 7
+    assert sorted(tr1 + va1) == list(range(10))
+
+
+def test_prefetch_loader_batches(features_dir):
+    conf = load_conf(["training.cpc.sample_frames=32"])
+    ds = CPCMelSpkDataset(True, conf.data.dataset, features_dir, seed=0)
+    loader = PrefetchLoader(ds, batch_size=2, shuffle=True, drop_last=True, device_put=False)
+    batches = list(loader)
+    assert len(batches) == 1  # 3 speakers // 2
+    mels, spks = batches[0]
+    assert mels.shape == (2, 8, 80, 44)
+    assert spks.shape == (2,)
+
+
+def test_prefetch_loader_epoch_shuffle(features_dir):
+    conf = load_conf(["training.cpc.sample_frames=32"])
+    ds = CPCMelSpkDataset(True, conf.data.dataset, features_dir, seed=0)
+    loader = PrefetchLoader(ds, batch_size=3, shuffle=True, drop_last=True, device_put=False)
+    loader.set_epoch(0)
+    _, spk0 = next(iter(loader))
+    orders = set()
+    for e in range(5):
+        loader.set_epoch(e)
+        _, spk = next(iter(loader))
+        orders.add(tuple(np.asarray(spk).tolist()))
+    assert len(orders) > 1  # order varies across epochs
+
+
+def test_prefetch_loader_propagates_errors(features_dir):
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError("boom")
+
+    loader = PrefetchLoader(Broken(), batch_size=2, device_put=False)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader)
+
+
+def test_get_corpus_download_refused():
+    conf = load_conf(["data.corpus.download=true"]).data.corpus
+    with pytest.raises(RuntimeError, match="no network egress"):
+        get_corpus("ZR19", conf)

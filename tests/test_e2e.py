@@ -1,0 +1,207 @@
+"""End-to-end smoke: synthetic corpus -> preprocess -> train CPC ->
+encode -> train vocoder -> convert. Tiny shapes, real pipeline."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+from vectorquantizedcpc_tpu.configs import load_conf
+from vectorquantizedcpc_tpu.data.corpus import SyntheticCorpus
+from vectorquantizedcpc_tpu.data.preprocess import preprocess_corpus
+from vectorquantizedcpc_tpu.infer.convert import convert
+from vectorquantizedcpc_tpu.infer.encode import encode_dataset
+from vectorquantizedcpc_tpu.training.checkpoint import save_checkpoint
+from vectorquantizedcpc_tpu.training.cpc import train_model
+from vectorquantizedcpc_tpu.training.vocoder import train_vocoder
+
+
+N_SPK, N_UTT, DUR = 3, 4, 0.8
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("e2e")
+    corpus = SyntheticCorpus(ws / "corpus", N_SPK, N_UTT, duration_s=DUR)
+    corpus.utterances()
+    return ws
+
+
+def _conf(ws, extra=()):
+    return load_conf(
+        [
+            "data.dataset.name=synthetic",
+            f"data.corpus.root={ws / 'corpus'}",
+            f"data.dataset.adress_data_root={ws / 'features'}",
+            f"checkpoint_dir={ws / 'ckpt'}",
+            # Tiny model.
+            "model.encoder.channels=32",
+            "dim_latent=8",
+            "dim_cpc_context=16",
+            "size_latent_codebook=32",
+            # Tiny CPC batch/clips.
+            "training.cpc.sample_frames=24",
+            "training.cpc.n_prediction_steps=8",
+            f"training.cpc.n_speakers_per_batch={N_SPK}",
+            "training.cpc.n_utterances_per_speaker=4",
+            "training.cpc.n_negatives=3",
+            "training.cpc.n_epochs=6",
+            "training.cpc.scheduler.warmup_epochs=2",
+            "training.cpc.scheduler.milestones=[4]",
+            "training.cpc.checkpoint_interval=3",
+            "training.cpc.log_interval=2",
+            "runtime.precision=float32",
+            # Tiny vocoder.
+            "training_vocoder.model.n_speakers=3",
+            "training_vocoder.model.network.dim_speaker_embedding=8",
+            "training_vocoder.model.network.rnnms.dim_voc_latent=16",
+            "training_vocoder.model.network.rnnms.wave_ar.size_i_embed_ar=16",
+            "training_vocoder.model.network.rnnms.wave_ar.size_h_rnn=24",
+            "training_vocoder.model.network.rnnms.wave_ar.size_h_fc=16",
+            "training_vocoder.model.optim.sched_milestones=[1000]",
+            "training_vocoder.trainer.max_epochs=2",
+            "training_vocoder.trainer.val_interval_epoch=1000",
+            "data.dataset.clip_length_mel=8",
+            "data.loader.batch_size=4",
+            f"training_vocoder.ckpt_log.dir_root={ws / 'voc'}",
+        ]
+        + list(extra)
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(workspace):
+    conf = _conf(workspace)
+    state = train_model(conf)
+    return conf, state
+
+
+def test_cpc_training_ran_and_checkpointed(trained, workspace):
+    conf, state = trained
+    assert int(state.epoch) == 6
+    assert (workspace / "ckpt" / "model.ckpt-3").exists()
+    assert (workspace / "ckpt" / "model.ckpt-6").exists()
+    # Codebook moved away from its tiny init.
+    assert float(np.abs(np.asarray(state.vq.embedding)).max()) > 1 / 512
+
+
+def test_resume_from_checkpoint(trained, workspace):
+    conf, _ = trained
+    conf2 = _conf(
+        workspace,
+        [f"resume={workspace / 'ckpt' / 'model.ckpt-6'}",
+         "training.cpc.n_epochs=7"],
+    )
+    state = train_model(conf2)
+    assert int(state.epoch) == 7
+
+
+def test_encode_produces_txt(trained, workspace):
+    conf = _conf(
+        workspace,
+        [
+            f"cpc_checkpoint={workspace / 'ckpt' / 'model.ckpt-6'}",
+            f"in_dir={workspace / 'features'}",
+            f"out_dir={workspace / 'codes'}",
+            "save_auxiliary=true",
+        ],
+    )
+    n = encode_dataset(conf)
+    assert n == N_SPK * N_UTT
+    txts = sorted((workspace / "codes").glob("*.txt"))
+    assert len(txts) == N_SPK * N_UTT
+    z = np.loadtxt(txts[0])
+    # 0.8 s -> 81 frames -> 80 even -> 40 latent steps of dim 8.
+    assert z.shape == (40, 8)
+    # Auxiliary dumps exist (context + pre-VQ).
+    assert len(list((workspace / "auxiliary_embedding1").glob("*.txt"))) == 12
+    aux2 = np.loadtxt(
+        sorted((workspace / "auxiliary_embedding2").glob("*.txt"))[0]
+    )
+    assert aux2.shape == (40, 8)
+
+
+def test_encode_padding_is_exact(trained, workspace):
+    """Bucketed+padded batch encode == unpadded single-utterance encode."""
+    import jax.numpy as jnp
+
+    from vectorquantizedcpc_tpu.infer.encode import load_encoder_checkpoint
+    from vectorquantizedcpc_tpu.models.encoder import encoder_encode
+
+    conf = _conf(workspace)
+    enc, vq = load_encoder_checkpoint(workspace / "ckpt" / "model.ckpt-6", conf)
+    mel = np.load(
+        sorted((workspace / "features" / "V000").glob("*.mel.npy"))[0]
+    )[:, :80]
+    padded = np.zeros((1, 80, 128), np.float32)
+    padded[0, :, :80] = mel
+    z_pad, c_pad, idx_pad = encoder_encode(enc, vq, jnp.asarray(padded))
+    z, c, idx = encoder_encode(enc, vq, jnp.asarray(mel[None]))
+    np.testing.assert_array_equal(np.asarray(idx_pad)[:, :40], np.asarray(idx))
+    np.testing.assert_allclose(
+        np.asarray(c_pad)[:, :40], np.asarray(c), atol=1e-5
+    )
+
+
+@pytest.fixture(scope="module")
+def vocoder_trained(trained, workspace):
+    conf = _conf(workspace)
+    from vectorquantizedcpc_tpu.infer.encode import load_encoder_checkpoint
+
+    enc, vq = load_encoder_checkpoint(workspace / "ckpt" / "model.ckpt-6", conf)
+    state = train_vocoder(
+        conf, enc, vq, workspace / "features", max_steps=4
+    )
+    return conf, state
+
+
+def test_vocoder_training_ran(vocoder_trained, workspace):
+    conf, state = vocoder_trained
+    assert int(state.step) == 4
+    ckpts = list(
+        (workspace / "voc" / "default" / "version_-1" / "checkpoints").glob(
+            "model.ckpt-*"
+        )
+    )
+    assert ckpts
+
+
+def test_convert_produces_wavs(vocoder_trained, trained, workspace):
+    synth_list = [
+        ["V000/V000_0000", "V001", "converted_0"],
+        ["V001/V001_0001", "V002", "converted_1"],
+    ]
+    list_path = workspace / "target_vc.json"
+    with open(list_path, "w") as f:
+        json.dump(synth_list, f)
+
+    conf = _conf(
+        workspace,
+        [
+            f"cpc_checkpoint={workspace / 'ckpt' / 'model.ckpt-6'}",
+            "vocoder_checkpoint="
+            + str(
+                workspace / "voc" / "default" / "version_-1" / "checkpoints"
+                / "model.ckpt-4"
+            ),
+            f"synthesis_list={list_path}",
+            f"in_dir={workspace / 'corpus'}",
+            f"out_dir={workspace / 'converted'}",
+        ],
+    )
+    # speakers.json: sorted speaker names, id = index (reference convert.py:18-20).
+    with open(workspace / "corpus" / "speakers.json", "w") as f:
+        json.dump(["V000", "V001", "V002"], f)
+
+    n = convert(conf)
+    assert n == 2
+    for name in ("converted_0.wav", "converted_1.wav"):
+        from vectorquantizedcpc_tpu.dsp.audio_io import read_wav
+
+        wave, sr = read_wav(workspace / "converted" / name)
+        assert sr == 16000
+        assert len(wave) > 10000  # ~0.8 s of audio
+        assert np.abs(wave).max() > 1e-4  # non-silent

@@ -140,7 +140,7 @@ data:
             bits: ${bit_mulaw}
         cpc:
             clip_length_mel: -1
-            n_utterances_per_speaker: 8
+            n_utterances_per_speaker: ${training.cpc.n_utterances_per_speaker}
     loader:
         batch_size: 32
         num_workers: 1
@@ -151,6 +151,7 @@ runtime:
     precision: bfloat16
     use_pallas: true
     profile_dir: null
+    platform: null
 """
 
 
@@ -342,6 +343,10 @@ class ConfRuntime:
     precision: str = "bfloat16"
     use_pallas: bool = True
     profile_dir: Optional[str] = None
+    # Force a JAX platform ("cpu"/"tpu"); null = auto. NOTE: in this
+    # environment the JAX_PLATFORMS env var is ignored by the backend
+    # plugin, so this goes through jax.config (see apply_runtime()).
+    platform: Optional[str] = None
 
 
 @dataclass
@@ -529,6 +534,14 @@ def conf_programatic(tree: Dict[str, Any]) -> Dict[str, Any]:
 
 def conf_default_tree() -> Dict[str, Any]:
     return yaml.safe_load(CONF_DEFAULT_STR)
+
+
+def apply_runtime(conf: "ConfGlobal") -> None:
+    """Apply runtime.* settings that must land before JAX backend init."""
+    if conf.runtime.platform:
+        import jax
+
+        jax.config.update("jax_platforms", conf.runtime.platform)
 
 
 def load_conf(argv: Optional[List[str]] = None) -> ConfGlobal:

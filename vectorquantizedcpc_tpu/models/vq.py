@@ -44,7 +44,9 @@ def vq_init(rng: jax.Array, n_embeddings: int, embedding_dim: int) -> VQEMAState
     return VQEMAState(
         embedding=embedding,
         ema_count=jnp.zeros((n_embeddings,), jnp.float32),
-        ema_weight=embedding,
+        # Same values but a DISTINCT buffer: aliased leaves break donation
+        # (the train step would donate one buffer twice).
+        ema_weight=embedding + 0.0,
     )
 
 

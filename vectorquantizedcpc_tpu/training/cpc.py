@@ -1,0 +1,342 @@
+"""CPC encoder training: jitted step + epoch-driven loop.
+
+Re-designs the reference's hand-rolled trainer (train_cpc.py:37-155) for
+TPU execution:
+
+- ONE compiled train step (fixed shapes) containing encoder forward, VQ-EMA
+  state transition, CPC loss, backward, and the Adam update; buffers donated
+  so parameters update in place in HBM.
+- The learning rate is a traced scalar argument (no recompilation across the
+  warmup/multistep schedule, which steps per EPOCH like the reference,
+  train_cpc.py:136).
+- Host work (clip sampling) overlaps device compute via the PrefetchLoader;
+  metrics are running-averaged exactly like the reference console logging
+  (train_cpc.py:99-101,127-131,140-148).
+- Checkpoint every ``checkpoint_interval`` epochs + resume restoring
+  encoder/cpc/optimizer/VQ state/epoch (reference train_cpc.py:65-76,
+  150-153).
+"""
+
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..configs import ConfGlobal
+from ..data.corpus import get_corpus
+from ..data.datasets import CPCMelSpkDataset
+from ..data.loader import PrefetchLoader
+from ..data.preprocess import preprocess_corpus
+from ..models.cpc import CPCParams, cpc_apply, cpc_init
+from ..models.encoder import EncoderParams, encoder_forward, encoder_init
+from ..models.vq import VQEMAState
+from .checkpoint import bulk_device_get, restore_checkpoint, save_checkpoint
+from .schedule import WarmupSchedule
+
+
+@struct.dataclass
+class CPCTrainState:
+    enc: EncoderParams
+    cpc: CPCParams
+    vq: VQEMAState
+    opt_state: Any
+    epoch: jax.Array  # scalar int32 — completed epochs
+
+
+def make_optimizer() -> optax.GradientTransformation:
+    """Adam with an injectable learning rate (reference uses plain Adam over
+    chained encoder+cpc params; train_cpc.py:53-55)."""
+    return optax.inject_hyperparams(optax.adam)(learning_rate=0.0)
+
+
+def init_train_state(conf: ConfGlobal, rng: jax.Array) -> CPCTrainState:
+    r_enc, r_cpc = jax.random.split(rng)
+    enc_params, vq_state = encoder_init(r_enc, conf.model.encoder)
+    cpc_params = cpc_init(r_cpc, conf.model.cpc)
+    opt_state = make_optimizer().init({"enc": enc_params, "cpc": cpc_params})
+    return CPCTrainState(
+        enc=enc_params,
+        cpc=cpc_params,
+        vq=vq_state,
+        opt_state=opt_state,
+        epoch=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(conf: ConfGlobal):
+    """Build the jitted train step. Signature:
+    (state, mels (S, U, F, T), rng, lr) -> (state, metrics dict)."""
+    cpc_conf = conf.model.cpc
+    s = cpc_conf.n_speakers_per_batch
+    u = cpc_conf.n_utterances_per_speaker
+    compute_dtype = jnp.dtype(conf.runtime.precision)
+    optimizer = make_optimizer()
+
+    def step(state: CPCTrainState, mels: jax.Array, rng: jax.Array, lr: jax.Array):
+        # (Spk, Utt, Freq, T) -> (Spk*Utt, Freq, T): flatten like the
+        # reference (train_cpc.py:110-114); CPC re-splits internally.
+        mels_flat = mels.reshape(s * u, mels.shape[2], mels.shape[3])
+
+        def loss_fn(params):
+            z, c, new_vq, vq_loss, perplexity = encoder_forward(
+                params["enc"], state.vq, mels_flat, compute_dtype
+            )
+            cpc_loss, accuracies = cpc_apply(params["cpc"], cpc_conf, z, c, rng)
+            total = cpc_loss + vq_loss
+            return total, (new_vq, cpc_loss, vq_loss, perplexity, accuracies)
+
+        params = {"enc": state.enc, "cpc": state.cpc}
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        new_vq, cpc_loss, vq_loss, perplexity, accuracies = aux
+
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+
+        new_state = state.replace(
+            enc=new_params["enc"],
+            cpc=new_params["cpc"],
+            vq=new_vq,
+            opt_state=new_opt_state,
+        )
+        metrics = {
+            "loss": loss,
+            "cpc_loss": cpc_loss,
+            "vq_loss": vq_loss,
+            "perplexity": perplexity,
+            "accuracies": accuracies,
+        }
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_train_epoch(conf: ConfGlobal):
+    """Whole-epoch train function: lax.scan of the train step over a stacked
+    tensor of batches.
+
+    TPU-first rationale: over a tunneled/remote device, per-step dispatch
+    plus the per-step metrics fetch dominates wall clock (measured ~0.5 s/
+    step vs 0.5 ms/step compute). One epoch of CPC batches is only a few MB
+    (reference shape: ~12 x 8 x 8 x 80 x 140 f32), so we stage the epoch on
+    device and run ONE call per epoch; the reference's scheduler semantics
+    (per-epoch LR, train_cpc.py:136) make the LR a constant within the scan.
+
+    Signature: (state, mels (N, S, U, F, T), rng, lr) ->
+    (state, stacked metrics with leading dim N).
+    """
+    cpc_conf = conf.model.cpc
+    s = cpc_conf.n_speakers_per_batch
+    u = cpc_conf.n_utterances_per_speaker
+    compute_dtype = jnp.dtype(conf.runtime.precision)
+    optimizer = make_optimizer()
+
+    def one_step(carry, inputs):
+        state, lr = carry
+        mels, rng = inputs
+        mels_flat = mels.reshape(s * u, mels.shape[2], mels.shape[3])
+
+        def loss_fn(params):
+            z, c, new_vq, vq_loss, perplexity = encoder_forward(
+                params["enc"], state.vq, mels_flat, compute_dtype
+            )
+            cpc_loss, accuracies = cpc_apply(params["cpc"], cpc_conf, z, c, rng)
+            return cpc_loss + vq_loss, (new_vq, cpc_loss, vq_loss, perplexity, accuracies)
+
+        params = {"enc": state.enc, "cpc": state.cpc}
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        new_vq, cpc_loss, vq_loss, perplexity, accuracies = aux
+
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+
+        new_state = state.replace(
+            enc=new_params["enc"],
+            cpc=new_params["cpc"],
+            vq=new_vq,
+            opt_state=new_opt_state,
+        )
+        metrics = {
+            "loss": loss,
+            "cpc_loss": cpc_loss,
+            "vq_loss": vq_loss,
+            "perplexity": perplexity,
+            "accuracies": accuracies,
+        }
+        return (new_state, lr), metrics
+
+    seed = conf.seed
+
+    def epoch_fn(state: CPCTrainState, all_mels: jax.Array, lr):
+        n = all_mels.shape[0]
+        # Epoch counter and PRNG derivation live on device: no extra H2D
+        # transfers per epoch (the tunnel makes each one ~20 ms).
+        epoch = state.epoch + 1
+        rng = jax.random.fold_in(jax.random.key(seed + 1), epoch)
+        rngs = jax.random.split(rng, n)
+        (state, _), metrics = jax.lax.scan(
+            one_step, (state, jnp.float32(lr)), (all_mels, rngs)
+        )
+        return state.replace(epoch=epoch), metrics
+
+    return jax.jit(epoch_fn, donate_argnums=(0,))
+
+
+class RunningMean:
+    """Incremental running means (reference train_cpc.py:127-131)."""
+
+    def __init__(self):
+        self.values: Dict[str, np.ndarray] = {}
+        self.count = 0
+
+    def reset(self):
+        self.values, self.count = {}, 0
+
+    def update(self, metrics: Dict[str, np.ndarray]):
+        self.count += 1
+        for k, v in metrics.items():
+            v = np.asarray(v)
+            prev = self.values.get(k, np.zeros_like(v))
+            self.values[k] = prev + (v - prev) / self.count
+
+    def __getitem__(self, k):
+        return self.values[k]
+
+
+def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainState:
+    """Full CPC training loop (reference train_model, train_cpc.py:37-155).
+
+    ``max_steps`` optionally caps total optimizer steps (testing/benching).
+    """
+    checkpoint_dir = Path(conf.checkpoint_dir)
+    tc = conf.training.cpc
+
+    state = init_train_state(conf, jax.random.key(conf.seed))
+    schedule = WarmupSchedule(
+        warmup_epochs=tc.scheduler.warmup_epochs,
+        initial_lr=tc.scheduler.initial_lr,
+        max_lr=tc.scheduler.max_lr,
+        milestones=tc.scheduler.milestones,
+        gamma=tc.scheduler.gamma,
+    )
+
+    start_epoch = 1
+    if conf.resume != "scratch":
+        print(f"Resume checkpoint from: {conf.resume}:")
+        state = restore_checkpoint(conf.resume, state)
+        start_epoch = int(state.epoch)
+        # Reference semantics re-run the checkpointed epoch
+        # (train_cpc.py:73,97); the device-side counter increments first.
+        state = state.replace(epoch=jnp.asarray(start_epoch - 1, jnp.int32))
+
+    # ---- Data: corpus -> preprocessed features -> per-speaker sampler. ----
+    corpus = get_corpus(conf.data.dataset.name, conf.data.corpus)
+    data_dir = Path(
+        conf.data.dataset.adress_data_root
+        or conf.data.adress_data_root
+        or (checkpoint_dir / "features")
+    )
+    preprocess_corpus(corpus, data_dir, conf.data.dataset.preprocess)
+    dataset = CPCMelSpkDataset(True, conf.data.dataset, data_dir, seed=conf.seed)
+    print(f"Loaded dataset: CPCMelSpkDataset w/ {conf.data.dataset.name} "
+          f"({len(dataset)} speakers)")
+
+    loader = PrefetchLoader(
+        dataset,
+        batch_size=tc.n_speakers_per_batch,
+        shuffle=True,
+        drop_last=True,
+        seed=conf.seed,
+    )
+    if len(loader) == 0:
+        raise ValueError(
+            f"Fewer speakers ({len(dataset)}) than n_speakers_per_batch "
+            f"({tc.n_speakers_per_batch})."
+        )
+
+    # Host-side epoch assembly overlapped one-ahead with device compute:
+    # the producer thread samples clips and device_puts the stacked epoch
+    # tensor while the previous epoch's scan runs on the TPU.
+    import queue as _queue
+    import threading as _threading
+
+    steps_per_epoch = len(loader)
+
+    def _epoch_producer(q: "_queue.Queue", epochs):
+        try:
+            for epoch in epochs:
+                loader.set_epoch(epoch)
+                mels_list = [m for m, _spk in iter(loader)]
+                stacked = jax.device_put(np.stack(mels_list))
+                q.put((epoch, stacked))
+            q.put(None)
+        except BaseException as e:
+            q.put(e)
+
+    loader.device_put = False  # producer stacks then transfers once
+    epochs = range(start_epoch, tc.n_epochs + 1)
+    q: "_queue.Queue" = _queue.Queue(maxsize=1)
+    producer = _threading.Thread(
+        target=_epoch_producer, args=(q, epochs), daemon=True
+    )
+    producer.start()
+
+    train_epoch = make_train_epoch(conf)
+    pending_metrics = []  # device-side metric trees; fetched only at log time
+    global_step = 0
+    t0 = time.time()
+
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        epoch, epoch_mels = item
+
+        state, metrics = train_epoch(
+            state, epoch_mels, np.float32(schedule(epoch - 1))
+        )
+        global_step += steps_per_epoch
+        pending_metrics.append(metrics)
+
+        if epoch % tc.log_interval == 0 and epoch != start_epoch:
+            fetched = bulk_device_get(pending_metrics)
+            pending_metrics = []
+            meter = RunningMean()
+            for m in fetched:
+                for i in range(steps_per_epoch):
+                    meter.update(jax.tree.map(lambda x: x[i], m))
+            steps_per_sec = meter.count / (time.time() - t0)
+            t0 = time.time()
+            print(
+                "epoch:{}, cpc loss:{:.2E}, vq loss:{:.2E}, perplexity:{:.3f}, "
+                "{:.2f} steps/s".format(
+                    epoch,
+                    float(meter["cpc_loss"]),
+                    float(meter["vq_loss"]),
+                    float(meter["perplexity"]),
+                    steps_per_sec,
+                )
+            )
+            print(100 * meter["accuracies"])
+        elif len(pending_metrics) > 2 * tc.log_interval:
+            pending_metrics = pending_metrics[-tc.log_interval :]
+
+        if epoch % tc.checkpoint_interval == 0 and epoch != start_epoch:
+            path = save_checkpoint(checkpoint_dir, epoch, state)
+            print(f"Saved checkpoint: {path.name}")
+
+        if max_steps is not None and global_step >= max_steps:
+            break
+
+    return state
