@@ -69,9 +69,13 @@ def init_train_state(conf: ConfGlobal, rng: jax.Array) -> CPCTrainState:
     )
 
 
-def make_train_step(conf: ConfGlobal):
+def make_train_step(conf: ConfGlobal, mesh=None):
     """Build the jitted train step. Signature:
-    (state, mels (S, U, F, T), rng, lr) -> (state, metrics dict)."""
+    (state, mels (S, U, F, T), rng, lr) -> (state, metrics dict).
+
+    With ``mesh``, the state/batch get DP+TP NamedShardings (speaker axis on
+    `data`, wide kernels on `model`; see parallel/sharding.py) and XLA
+    inserts the collectives."""
     cpc_conf = conf.model.cpc
     s = cpc_conf.n_speakers_per_batch
     u = cpc_conf.n_utterances_per_speaker
@@ -115,10 +119,26 @@ def make_train_step(conf: ConfGlobal):
         }
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    from ..parallel.sharding import batch_sharding, state_shardings
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state_template = jax.eval_shape(
+        lambda seed: init_train_state(conf, jax.random.key(seed)), 0
+    )
+    state_sh = state_shardings(mesh, state_template)
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        donate_argnums=(0,),
+        in_shardings=(state_sh, batch_sharding(mesh, 4), repl, repl),
+        out_shardings=(state_sh, repl),
+    )
 
 
-def make_train_epoch(conf: ConfGlobal):
+def make_train_epoch(conf: ConfGlobal, mesh=None):
     """Whole-epoch train function: lax.scan of the train step over a stacked
     tensor of batches.
 
@@ -188,7 +208,25 @@ def make_train_epoch(conf: ConfGlobal):
         )
         return state.replace(epoch=epoch), metrics
 
-    return jax.jit(epoch_fn, donate_argnums=(0,))
+    if mesh is None:
+        return jax.jit(epoch_fn, donate_argnums=(0,))
+
+    from ..parallel.sharding import batch_sharding, state_shardings
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state_template = jax.eval_shape(
+        lambda seed: init_train_state(conf, jax.random.key(seed)), 0
+    )
+    state_sh = state_shardings(mesh, state_template)
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        epoch_fn,
+        donate_argnums=(0,),
+        # Epoch tensor (N, S, U, F, T): axis 0 is the scan axis; speakers
+        # (axis 1) shard over data.
+        in_shardings=(state_sh, batch_sharding(mesh, 5, axis=1), repl),
+        out_shardings=(state_sh, repl),
+    )
 
 
 class RunningMean:
@@ -271,12 +309,25 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
 
     steps_per_epoch = len(loader)
 
+    mesh = None
+    if conf.runtime.mesh_data * conf.runtime.mesh_model > 1:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharding import batch_sharding
+
+        mesh = make_mesh(conf.runtime.mesh_data, conf.runtime.mesh_model)
+        epoch_batch_sharding = batch_sharding(mesh, 5, axis=1)
+        print(f"Mesh: data={conf.runtime.mesh_data} model={conf.runtime.mesh_model}")
+    else:
+        epoch_batch_sharding = None
+
     def _epoch_producer(q: "_queue.Queue", epochs):
         try:
             for epoch in epochs:
                 loader.set_epoch(epoch)
                 mels_list = [m for m, _spk in iter(loader)]
-                stacked = jax.device_put(np.stack(mels_list))
+                stacked = jax.device_put(
+                    np.stack(mels_list), epoch_batch_sharding
+                )
                 q.put((epoch, stacked))
             q.put(None)
         except BaseException as e:
@@ -290,7 +341,7 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
     )
     producer.start()
 
-    train_epoch = make_train_epoch(conf)
+    train_epoch = make_train_epoch(conf, mesh)
     pending_metrics = []  # device-side metric trees; fetched only at log time
     global_step = 0
     t0 = time.time()
