@@ -1,0 +1,177 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Headline: fused AR vocoder decode throughput (samples/s/chip at 16 kHz,
+reference-size network: GRU 896, 256-way mu-law head). ``vs_baseline`` is
+measured against the north-star real-time-factor target RTF=0.05/chip
+(= 320,000 samples/s; BASELINE.md) — > 1.0 beats the target.
+
+Extras report the other BASELINE.md axes: CPC encoder training steps/s at
+the reference batch shape (8 spk x 8 utt x 80 x 140; reference P100 runs
+15.5 it/s -> ``cpc_vs_p100``), batched encoder frames/s, int8 vs bf16
+decode, and the lax.scan decode for the kernel speedup.
+
+Designed for the tunneled single-chip environment: one process, a D2H
+warm-up first (the first device fetch can stall for minutes), every
+section exception-guarded so one failure doesn't lose the line.
+"""
+
+import json
+import time
+import traceback
+
+import numpy as np
+
+
+def _bench(fn, n_rep=3):
+    import jax
+
+    jax.block_until_ready(fn(0))  # compile
+    t0 = time.time()
+    for i in range(n_rep):
+        out = fn(i + 1)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / n_rep
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vectorquantizedcpc_tpu.configs import load_conf
+
+    result = {
+        "metric": "vocoder_samples_per_s_per_chip",
+        "value": 0.0,
+        "unit": "samples/s",
+        "vs_baseline": 0.0,
+        "device": str(jax.devices()[0].device_kind),
+        "backend": jax.default_backend(),
+    }
+    errors = []
+
+    # D2H warm-up (tunneled backend: first fetch can stall for minutes).
+    t0 = time.time()
+    _ = jax.device_get(jax.jit(lambda x: x * 2)(jnp.ones((8, 128))))
+    result["d2h_warmup_s"] = round(time.time() - t0, 1)
+
+    conf = load_conf([])  # full reference dimensions
+    sr = conf.sampling_rate
+    rng = np.random.default_rng(0)
+
+    # ---- Fused AR vocoder decode (headline). -----------------------------
+    try:
+        from vectorquantizedcpc_tpu.models.vocoder import vocoder_init
+        from vectorquantizedcpc_tpu.ops.ar_decode import fused_ar_decode
+
+        net = conf.training_vocoder.model.network
+        params = vocoder_init(jax.random.key(0), net)
+        batch, seconds = 8, 2.0
+        n_frames = int(seconds * sr) // net.rnnms.upsampling_t // 2
+        t_decode = n_frames * 2 * net.rnnms.upsampling_t
+        z = jnp.asarray(
+            rng.integers(0, net.size_i_codebook, size=(batch, n_frames))
+        )
+        spk = jnp.asarray(rng.integers(0, net.n_speakers, size=(batch,)))
+
+        for precision in ("bf16", "int8"):
+            dt = _bench(
+                lambda i, p=precision: fused_ar_decode(
+                    params, net, z, spk, jax.random.key(i), precision=p
+                )
+            )
+            result[f"decode_{precision}_rtf"] = round(dt / (t_decode / sr), 5)
+            result[f"decode_{precision}_samples_per_s"] = round(
+                batch * t_decode / dt
+            )
+            result[f"decode_{precision}_us_per_step"] = round(
+                dt * 1e6 / t_decode, 2
+            )
+
+        best = max(
+            result.get("decode_int8_samples_per_s", 0),
+            result.get("decode_bf16_samples_per_s", 0),
+        )
+        result["value"] = float(best)
+        result["vs_baseline"] = round(best / (sr / 0.05), 3)
+        result["batch"] = batch
+    except Exception:
+        errors.append("decode: " + traceback.format_exc(limit=2))
+
+    # ---- lax.scan decode (kernel speedup reference). ---------------------
+    try:
+        from vectorquantizedcpc_tpu.models.vocoder import vocoder_generate
+
+        dt_scan = _bench(
+            lambda i: vocoder_generate(params, net, z, spk, jax.random.key(i)),
+            n_rep=1,
+        )
+        result["decode_scan_rtf"] = round(dt_scan / (t_decode / sr), 4)
+        if "decode_bf16_rtf" in result:
+            result["kernel_speedup_vs_scan"] = round(
+                dt_scan / (result["decode_bf16_rtf"] * (t_decode / sr)), 1
+            )
+    except Exception:
+        errors.append("scan: " + traceback.format_exc(limit=2))
+
+    # ---- CPC training step at reference shape. ---------------------------
+    try:
+        from vectorquantizedcpc_tpu.training.cpc import (
+            init_train_state,
+            make_train_step,
+        )
+
+        state = init_train_state(conf, jax.random.key(0))
+        step = make_train_step(conf)
+        tc = conf.training.cpc
+        mels = jnp.asarray(
+            rng.normal(
+                size=(
+                    tc.n_speakers_per_batch,
+                    tc.n_utterances_per_speaker,
+                    80,
+                    conf.data.dataset.cpc.clip_length_mel,
+                )
+            ).astype(np.float32)
+        )
+
+        holder = {"state": state}
+
+        def run(i):
+            holder["state"], metrics = step(
+                holder["state"], mels, jax.random.key(i), np.float32(4e-4)
+            )
+            return metrics["loss"]
+
+        dt = _bench(run, n_rep=10)
+        result["cpc_train_steps_per_s"] = round(1.0 / dt, 1)
+        result["cpc_vs_p100"] = round(1.0 / dt / 15.5, 2)  # README.md:106
+    except Exception:
+        errors.append("cpc: " + traceback.format_exc(limit=2))
+
+    # ---- Batched encoder inference frames/s. -----------------------------
+    try:
+        from vectorquantizedcpc_tpu.models.encoder import (
+            encoder_encode,
+            encoder_init,
+        )
+
+        enc_params, vq_state = encoder_init(jax.random.key(0), conf.model.encoder)
+        b, t = 64, 1024
+        mels_inf = jnp.asarray(rng.normal(size=(b, 80, t)).astype(np.float32))
+        enc_fn = jax.jit(
+            lambda m: encoder_encode(enc_params, vq_state, m, jnp.bfloat16)[2]
+        )
+        dt = _bench(lambda i: enc_fn(mels_inf), n_rep=5)
+        result["encoder_frames_per_s"] = round(b * t / dt)
+    except Exception:
+        errors.append("encoder: " + traceback.format_exc(limit=2))
+
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -101,9 +101,20 @@ def convert(conf: ConfGlobal, batch_size: int = 8) -> int:
         padded = max(quantum, -(-job["mel"].shape[1] // quantum) * quantum)
         buckets.setdefault(padded, []).append(i)
 
+    # Production path: fused Pallas decode on TPU (VMEM-resident weights,
+    # one kernel for the whole utterance); lax.scan elsewhere.
+    use_fused = conf.runtime.use_pallas and jax.default_backend() == "tpu"
+    precision = "int8" if conf.runtime.precision == "int8" else "bf16"
+
     @jax.jit
     def encode_and_generate(mels, spk, rng):
         _, _, indices = encoder_encode(enc_params, vq_state, mels)
+        if use_fused:
+            from ..ops.ar_decode import fused_ar_decode
+
+            return fused_ar_decode(
+                voc_params, net_conf, indices, spk, rng, precision=precision
+            )
         return vocoder_generate(voc_params, net_conf, indices, spk, rng)
 
     n_done = 0

@@ -162,6 +162,7 @@ def vocoder_generate(
     speaker: jax.Array,
     rng: jax.Array,
     return_aux: bool = False,
+    greedy: bool = False,
 ) -> jax.Array:
     """Autoregressive generation -> linear waveform in [-1, 1] (B, T).
 
@@ -197,7 +198,12 @@ def vocoder_generate(
         h = gru_step(gru, h, xp)
         hidden = jax.nn.relu(h @ params.fc1_w + params.fc1_b)
         logits = hidden @ params.fc2_w + params.fc2_b
-        sample = jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+        if greedy:
+            # Deterministic argmax decode (for cross-implementation parity
+            # tests against the fused Pallas kernel).
+            sample = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            sample = jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
         return (h, sample), (sample, logits)
 
     _, (samples, logits) = jax.lax.scan(step, (h0, sample0), (cond_proj, step_keys))

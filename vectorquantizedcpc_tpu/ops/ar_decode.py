@@ -1,0 +1,275 @@
+"""Fused autoregressive vocoder decode — the flagship Pallas TPU kernel.
+
+The reference's vocoder inference runs one GRU(896) step per 16 kHz audio
+sample in Python/torch (reference network_vocoder.py:69-78 + the external
+rnnms generate loop) — per-step kernel-launch overhead makes it the
+dominant cost of voice conversion (SURVEY.md §7 "hard parts" #1).
+
+Here the ENTIRE decode is one `pallas_call`:
+
+- All recurrent weights live in VMEM for the whole decode (bf16: AR-GRU
+  recurrent kernel 896 x 2688 = 4.6 MiB — or 2.3 MiB int8 — plus the
+  prev-sample embedding pre-projected through the input kernel into a
+  256 x 2688 lookup table and the FC head) — zero HBM weight traffic/step.
+- The conditioning contribution to the GRU input projection is precomputed
+  for ALL timesteps by one big XLA matmul and streamed chunk-by-chunk
+  through the sequential grid with Pallas' automatic double buffering.
+- Each step is: embedding-table row gather (+ cond add) -> one
+  (B, 896) x (896, 2688) MXU matmul -> VPU gate math -> FC head -> Gumbel-max
+  categorical sample from the on-core PRNG -> write sample, update carries.
+  Hidden state and the next-step embedding rows stay in VMEM scratch across
+  the whole utterance (the "HBM/VMEM-resident recurrent state" of
+  BASELINE.md).
+- ``precision="int8"`` switches the three matmuls to weight-only INT8:
+  per-output-channel weight scales (ops/quant.py) with dynamic per-row
+  activation quantization, int8 x int8 -> int32 on the MXU.
+
+Deterministic greedy mode (argmax) exists for parity tests against the
+lax.scan reference implementation (models/vocoder.py:vocoder_generate).
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..configs import ConfVocoderNetwork
+from ..models.vocoder import VocoderParams, build_conditioning
+from .quant import quantize_int8
+
+
+def _mm(x_f32, w_ref, scale_ref, use_int8: bool):
+    """(B, in) f32 @ weight ref -> (B, out) f32, bf16 or weight-only int8."""
+    if use_int8:
+        absmax = jnp.max(jnp.abs(x_f32), axis=-1, keepdims=True) + 1e-8
+        x_i8 = jnp.round(x_f32 * (127.0 / absmax)).astype(jnp.int8)
+        acc = jnp.dot(x_i8, w_ref[:], preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (absmax * (1.0 / 127.0)) * scale_ref[0][None, :]
+    return jnp.dot(
+        x_f32.astype(jnp.bfloat16), w_ref[:], preferred_element_type=jnp.float32
+    )
+
+
+def _decode_kernel(
+    seed_ref,  # (1,) int32 in SMEM (scalar prefetch)
+    cond_ref,  # (CHUNK, B, 3H) bf16 — streamed per grid step
+    embed_proj_ref,  # (n_classes, 3H) bf16 — resident
+    wh_ref,  # (H, 3H) bf16/int8 — resident
+    wh_scale_ref,  # (1, 3H) f32
+    bh_ref,  # (1, 3H) f32
+    fc1_ref,  # (H, F) bf16/int8
+    fc1_scale_ref,  # (1, F) f32
+    fc1_b_ref,  # (1, F) f32
+    fc2_ref,  # (F, n_classes) bf16/int8
+    fc2_scale_ref,  # (1, n_classes) f32
+    fc2_b_ref,  # (1, n_classes) f32
+    out_ref,  # (CHUNK, B) int32 — written per grid step
+    h_scratch,  # (B, H) f32 — persists across grid steps
+    emb_scratch,  # (B, 3H) f32 — embedding rows of the previous sample
+    *,
+    chunk: int,
+    batch: int,
+    hidden: int,
+    n_classes: int,
+    init_class: int,
+    greedy: bool,
+    use_int8: bool,
+):
+    step_idx = pl.program_id(0)
+
+    @pl.when(step_idx == 0)
+    def _init():
+        h_scratch[:] = jnp.zeros_like(h_scratch)
+        # Previous sample starts at mu-law silence for every batch row.
+        emb_scratch[:] = jnp.broadcast_to(
+            embed_proj_ref[init_class, :].astype(jnp.float32),
+            emb_scratch.shape,
+        )
+
+    if not greedy:
+        # Independent per-chunk PRNG stream.
+        pltpu.prng_seed(seed_ref[0] + step_idx)
+
+    def body(t, _):
+        h = h_scratch[:]  # (B, H) f32
+        xp = emb_scratch[:] + cond_ref[t].astype(jnp.float32)  # (B, 3H)
+
+        hproj = _mm(h, wh_ref, wh_scale_ref, use_int8) + bh_ref[0]
+        xr, xz, xn = (
+            xp[:, :hidden],
+            xp[:, hidden : 2 * hidden],
+            xp[:, 2 * hidden :],
+        )
+        hr, hz, hn = (
+            hproj[:, :hidden],
+            hproj[:, hidden : 2 * hidden],
+            hproj[:, 2 * hidden :],
+        )
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+
+        fc_hidden = jax.nn.relu(
+            _mm(h_new, fc1_ref, fc1_scale_ref, use_int8) + fc1_b_ref[0]
+        )
+        logits = (
+            _mm(fc_hidden, fc2_ref, fc2_scale_ref, use_int8) + fc2_b_ref[0]
+        )  # (B, n_classes)
+
+        if greedy:
+            scores = logits
+        else:
+            # Gumbel-max trick == categorical sampling from softmax(logits).
+            bits = pltpu.prng_random_bits((batch, n_classes))
+            u = (
+                pltpu.bitcast(bits, jnp.uint32) >> 8
+            ).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-9
+            scores = logits - jnp.log(-jnp.log(u))
+
+        sample = jnp.argmax(scores, axis=-1).astype(jnp.int32)  # (B,)
+        out_ref[t, :] = sample
+        h_scratch[:] = h_new
+
+        # Stage the next step's input projection: one embedding-table row
+        # per batch element (dynamic row gather from VMEM).
+        for i in range(batch):
+            emb_scratch[i, :] = embed_proj_ref[sample[i], :].astype(jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0, unroll=False)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "conf_hidden", "conf_classes", "chunk", "greedy", "use_int8", "interpret",
+    ),
+)
+def _fused_decode_impl(
+    cond_proj: jax.Array,  # (T, B, 3H) bf16
+    embed_proj: jax.Array,  # (n_classes, 3H) bf16
+    wh, wh_scale, bh,
+    fc1_w, fc1_scale, fc1_b,
+    fc2_w, fc2_scale, fc2_b,
+    seed: jax.Array,  # (1,) int32
+    conf_hidden: int,
+    conf_classes: int,
+    chunk: int,
+    greedy: bool,
+    use_int8: bool,
+    interpret: bool,
+):
+    t, b, proj3h = cond_proj.shape
+    n_chunks = t // chunk
+    resident = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (chunk, b, proj3h), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ] + [resident() for _ in range(10)],
+        out_specs=pl.BlockSpec(
+            (chunk, b), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b, conf_hidden), jnp.float32),
+            pltpu.VMEM((b, proj3h), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel,
+        chunk=chunk,
+        batch=b,
+        hidden=conf_hidden,
+        n_classes=conf_classes,
+        init_class=conf_classes // 2,
+        greedy=greedy,
+        use_int8=use_int8,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((t, b), jnp.int32),
+        grid_spec=grid_spec,
+        # The TPU interpreter (not the generic one) emulates pltpu
+        # primitives (PRNG etc.) when testing on CPU.
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(
+        seed, cond_proj, embed_proj,
+        wh, wh_scale, bh, fc1_w, fc1_scale, fc1_b, fc2_w, fc2_scale, fc2_b,
+    )
+
+
+def fused_ar_decode(
+    params: VocoderParams,
+    conf: ConfVocoderNetwork,
+    z_indices: jax.Array,
+    speaker: jax.Array,
+    rng: jax.Array,
+    chunk: int = 64,
+    greedy: bool = False,
+    precision: str = "bf16",
+    interpret: bool = False,
+) -> jax.Array:
+    """Full voice-conversion decode with the fused kernel.
+
+    Same contract as models.vocoder.vocoder_generate: codes + speaker ->
+    linear waveform (B, T) in [-1, 1]. ``precision``: "bf16" or "int8"
+    (weight-only quantized matmuls).
+    """
+    from ..dsp.mulaw import mulaw_decode
+
+    n_classes = 2 ** conf.rnnms.bits_mu_law
+    hidden = conf.rnnms.wave_ar.size_h_rnn
+    gru = params.ar_gru
+    embed_dim = params.ar_embed.shape[1]
+    use_int8 = precision == "int8"
+
+    cond = build_conditioning(params, conf, z_indices, speaker)
+    b, t, _ = cond.shape
+
+    # Hoisted projections (XLA MXU matmuls, full sequence at once).
+    wx_embed, wx_cond = gru.wx[:embed_dim], gru.wx[embed_dim:]
+    embed_proj = (params.ar_embed @ wx_embed).astype(jnp.bfloat16)
+    cond_proj = (cond @ wx_cond + gru.bx).astype(jnp.bfloat16)
+    cond_proj = jnp.swapaxes(cond_proj, 0, 1)  # (T, B, 3H)
+
+    # Pad T to a chunk multiple (extra steps generate past the end; sliced
+    # off below — the AR recursion is causal so earlier samples are exact).
+    t_pad = -(-t // chunk) * chunk
+    if t_pad != t:
+        cond_proj = jnp.pad(cond_proj, ((0, t_pad - t), (0, 0), (0, 0)))
+
+    def prep(w):
+        if use_int8:
+            q = quantize_int8(w)
+            return q.values, q.scale
+        return w.astype(jnp.bfloat16), jnp.ones((1, w.shape[1]), jnp.float32)
+
+    wh, wh_scale = prep(gru.wh)
+    fc1_w, fc1_scale = prep(params.fc1_w)
+    fc2_w, fc2_scale = prep(params.fc2_w)
+
+    seed = jax.random.randint(rng, (1,), 0, np.iinfo(np.int32).max, jnp.int32)
+    samples = _fused_decode_impl(
+        cond_proj, embed_proj,
+        wh, wh_scale, gru.bh.reshape(1, -1).astype(jnp.float32),
+        fc1_w, fc1_scale, params.fc1_b.reshape(1, -1).astype(jnp.float32),
+        fc2_w, fc2_scale, params.fc2_b.reshape(1, -1).astype(jnp.float32),
+        seed,
+        conf_hidden=hidden,
+        conf_classes=n_classes,
+        chunk=chunk,
+        greedy=greedy,
+        use_int8=use_int8,
+        interpret=interpret,
+    )
+    samples = jnp.swapaxes(samples[:t], 0, 1)  # (B, T)
+    return mulaw_decode(samples, n_classes)
