@@ -76,11 +76,12 @@ def main() -> None:
         spk = jnp.asarray(rng.integers(0, net.n_speakers, size=(batch,)))
 
         for precision in ("bf16", "int8"):
-            dt = _bench(
-                lambda i, p=precision: fused_ar_decode(
-                    params, net, z, spk, jax.random.key(i), precision=p
+            decode = jax.jit(
+                lambda key, p=precision: fused_ar_decode(
+                    params, net, z, spk, key, precision=p
                 )
             )
+            dt = _bench(lambda i, d=decode: d(jax.random.key(i)))
             result[f"decode_{precision}_rtf"] = round(dt / (t_decode / sr), 5)
             result[f"decode_{precision}_samples_per_s"] = round(
                 batch * t_decode / dt

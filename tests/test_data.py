@@ -149,3 +149,24 @@ def test_get_corpus_download_refused():
     conf = load_conf(["data.corpus.download=true"]).data.corpus
     with pytest.raises(RuntimeError, match="no network egress"):
         get_corpus("ZR19", conf)
+
+
+def test_datamodule_wrappers(corpus_dir, features_dir):
+    from vectorquantizedcpc_tpu.data.datamodule import VocoderDataModule
+
+    conf = load_conf(["data.loader.batch_size=4"]).data
+
+    class SyntheticDM(VocoderDataModule):
+        corpus_name = "synthetic"
+
+    dm = SyntheticDM(conf, data_dir=features_dir)
+    dm.setup()
+    loader = dm.train_dataloader()
+    assert len(loader) == (12 - 3) // 4
+    audio, mel, spk = next(iter(loader))
+    assert mel.shape == (4, 80, 32)
+    val = dm.val_items()
+    assert len(val) == 3
+    # Val items are full length (variable), batch of 1 semantics.
+    assert val[0][1].shape[1] > 32
+    assert dm.n_speakers == 3

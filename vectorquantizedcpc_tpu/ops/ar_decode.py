@@ -125,20 +125,32 @@ def _decode_kernel(
             scores = logits
         else:
             # Gumbel-max trick == categorical sampling from softmax(logits).
-            bits = pltpu.prng_random_bits((batch, n_classes))
+            # 24 mantissa-safe bits -> uniform (0, 1]; the masking runs in
+            # int32 (Mosaic has no uint32 -> f32 cast).
+            bits = pltpu.bitcast(
+                pltpu.prng_random_bits((batch, n_classes)), jnp.int32
+            )
             u = (
-                pltpu.bitcast(bits, jnp.uint32) >> 8
-            ).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-9
+                jax.lax.bitwise_and(bits, (1 << 24) - 1).astype(jnp.float32)
+                * (1.0 / (1 << 24))
+                + 1e-9
+            )
             scores = logits - jnp.log(-jnp.log(u))
 
         sample = jnp.argmax(scores, axis=-1).astype(jnp.int32)  # (B,)
         out_ref[t, :] = sample
         h_scratch[:] = h_new
 
-        # Stage the next step's input projection: one embedding-table row
-        # per batch element (dynamic row gather from VMEM).
-        for i in range(batch):
-            emb_scratch[i, :] = embed_proj_ref[sample[i], :].astype(jnp.float32)
+        # Stage the next step's input projection: gather the sampled
+        # embedding rows as a one-hot MXU matmul (Mosaic forbids unaligned
+        # dynamic row loads from VMEM; (B, 256) x (256, 3H) is cheap).
+        onehot = (
+            sample[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (batch, n_classes), 1)
+        ).astype(jnp.bfloat16)
+        emb_scratch[:] = jnp.dot(
+            onehot, embed_proj_ref[:], preferred_element_type=jnp.float32
+        )
         return 0
 
     jax.lax.fori_loop(0, chunk, body, 0, unroll=False)

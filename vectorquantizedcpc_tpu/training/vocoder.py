@@ -32,7 +32,7 @@ import optax
 from flax import struct
 
 from ..configs import ConfGlobal
-from ..data.datasets import MulawMelSpkDataset, random_split_indices
+from ..data.datamodule import VocoderDataModule as _VocoderDataModule  # noqa: F401 (setup below)
 from ..data.loader import PrefetchLoader
 from ..models.encoder import EncoderParams, encoder_encode
 from ..models.vocoder import (
@@ -201,37 +201,18 @@ def train_vocoder(
     )
 
     # Data: (N-3, 3) split, val from the variable-length view (reference
-    # datamodule.py:80-97).
-    train_ds = MulawMelSpkDataset(True, conf.data.dataset, data_dir, seed=conf.seed)
-    val_ds = MulawMelSpkDataset(False, conf.data.dataset, data_dir, seed=conf.seed)
-    train_idx, val_idx = random_split_indices(len(train_ds), n_val=3, seed=42)
+    # datamodule.py:80-97) — via the DataModule layer.
+    from ..data.datamodule import VocoderDataModule
 
-    class _Subset:
-        def __init__(self, ds, idx):
-            self.ds, self.idx = ds, idx
-
-        def __len__(self):
-            return len(self.idx)
-
-        def __getitem__(self, i):
-            return self.ds[self.idx[i]]
-
-        def set_epoch(self, e):
-            self.ds.set_epoch(e)
-
-    loader = PrefetchLoader(
-        _Subset(train_ds, train_idx),
-        batch_size=conf.data.loader.batch_size,
-        shuffle=True,
-        drop_last=True,
-        seed=conf.seed,
-    )
+    dm = VocoderDataModule(conf.data, data_dir=data_dir, seed=conf.seed)
+    dm.setup()
+    loader = dm.train_dataloader()
     if len(loader) == 0:
         raise ValueError(
-            f"Not enough utterances ({len(train_idx)}) for batch size "
+            "Not enough utterances for batch size "
             f"{conf.data.loader.batch_size}."
         )
-    val_items = [val_ds[i] for i in val_idx]
+    val_items = dm.val_items()
 
     train_step = make_train_step(conf)
     enc_params = jax.device_put(enc_params)
