@@ -72,6 +72,7 @@ training:
         n_utterances_per_speaker: 8
         n_prediction_steps: 12
         n_negatives: 17
+        exclude_self_negatives: false
         n_epochs: 22000
         scheduler:
             warmup_epochs: 150
@@ -207,6 +208,9 @@ class ConfTrainCPC:
     n_utterances_per_speaker: int = MISSING
     n_prediction_steps: int = MISSING
     n_negatives: int = MISSING
+    # Fix for the reference's self-negative flaw (model.py:247-249):
+    # default keeps reference-faithful sampling.
+    exclude_self_negatives: bool = False
     n_epochs: int = MISSING
     scheduler: ConfTrainCPCSched = field(default_factory=ConfTrainCPCSched)
     checkpoint_interval: int = MISSING

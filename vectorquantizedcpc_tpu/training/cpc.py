@@ -91,7 +91,10 @@ def make_train_step(conf: ConfGlobal, mesh=None):
             z, c, new_vq, vq_loss, perplexity = encoder_forward(
                 params["enc"], state.vq, mels_flat, compute_dtype
             )
-            cpc_loss, accuracies = cpc_apply(params["cpc"], cpc_conf, z, c, rng)
+            cpc_loss, accuracies = cpc_apply(
+                params["cpc"], cpc_conf, z, c, rng,
+                exclude_self_negatives=conf.training.cpc.exclude_self_negatives,
+            )
             total = cpc_loss + vq_loss
             return total, (new_vq, cpc_loss, vq_loss, perplexity, accuracies)
 
@@ -167,7 +170,10 @@ def make_train_epoch(conf: ConfGlobal, mesh=None):
             z, c, new_vq, vq_loss, perplexity = encoder_forward(
                 params["enc"], state.vq, mels_flat, compute_dtype
             )
-            cpc_loss, accuracies = cpc_apply(params["cpc"], cpc_conf, z, c, rng)
+            cpc_loss, accuracies = cpc_apply(
+                params["cpc"], cpc_conf, z, c, rng,
+                exclude_self_negatives=conf.training.cpc.exclude_self_negatives,
+            )
             return cpc_loss + vq_loss, (new_vq, cpc_loss, vq_loss, perplexity, accuracies)
 
         params = {"enc": state.enc, "cpc": state.cpc}
@@ -345,6 +351,9 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
     pending_metrics = []  # device-side metric trees; fetched only at log time
     global_step = 0
     t0 = time.time()
+    # Optional device trace of a few post-compile epochs (SURVEY.md §5.1).
+    profile_dir = conf.runtime.profile_dir
+    profiling = False
 
     while True:
         item = q.get()
@@ -354,9 +363,19 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
             raise item
         epoch, epoch_mels = item
 
+        if profile_dir and epoch == start_epoch + 2:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
+
         state, metrics = train_epoch(
             state, epoch_mels, np.float32(schedule(epoch - 1))
         )
+
+        if profiling and epoch >= start_epoch + 3:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            profiling = False
+            print(f"Wrote profiler trace to {profile_dir}")
         global_step += steps_per_epoch
         pending_metrics.append(metrics)
 

@@ -34,7 +34,7 @@ from flax import struct
 from ..configs import ConfGlobal
 from ..data.datamodule import VocoderDataModule as _VocoderDataModule  # noqa: F401 (setup below)
 from ..data.loader import PrefetchLoader
-from ..models.encoder import EncoderParams, encoder_encode
+from ..models.encoder import EncoderParams, encoder_encode, encoder_init
 from ..models.vocoder import (
     VocoderParams,
     vocoder_forward,
@@ -73,9 +73,14 @@ def init_train_state(conf: ConfGlobal, rng: jax.Array) -> VocoderTrainState:
     )
 
 
-def make_train_step(conf: ConfGlobal):
+def make_train_step(conf: ConfGlobal, mesh=None):
     """(state, enc_params, vq_state, audio (B, L+1), mels (B, F, T),
-    speakers (B,), lr) -> (state, metrics)."""
+    speakers (B,), lr) -> (state, metrics).
+
+    With ``mesh``: vocoder params/moments TP-shard per
+    parallel/sharding.py (GRU gate axes, FC output features; embeddings
+    replicated), the frozen encoder params replicate, and the batch shards
+    over the data axis."""
     net_conf = conf.training_vocoder.model.network
     compute_dtype = jnp.dtype(conf.runtime.precision)
     optimizer = make_optimizer(conf.training_vocoder.trainer.gradient_clip_val)
@@ -106,7 +111,36 @@ def make_train_step(conf: ConfGlobal):
         )
         return new_state, {"loss": loss}
 
-    return jax.jit(step, donate_argnums=(0,))
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.sharding import batch_sharding, state_shardings
+
+    state_template = jax.eval_shape(
+        lambda seed: init_train_state(conf, jax.random.key(seed)), 0
+    )
+    state_sh = state_shardings(mesh, state_template)
+    repl = NamedSharding(mesh, P())
+    repl_tree = lambda template: jax.tree.map(lambda _: repl, template)
+    enc_template = jax.eval_shape(
+        lambda seed: encoder_init(jax.random.key(seed), conf.model.encoder), 0
+    )
+    return jax.jit(
+        step,
+        donate_argnums=(0,),
+        in_shardings=(
+            state_sh,
+            repl_tree(enc_template[0]),
+            repl_tree(enc_template[1]),
+            batch_sharding(mesh, 2),
+            batch_sharding(mesh, 3),
+            batch_sharding(mesh, 1),
+            repl,
+        ),
+        out_shardings=(state_sh, repl),
+    )
 
 
 def validate(
