@@ -48,7 +48,12 @@ def import_encoder(
     """Map the reference Encoder state_dict -> (EncoderParams, VQEMAState)."""
     sd = {k: _np(v) for k, v in state_dict.items()}
 
-    n_blocks = sum(1 for k in sd if k.startswith("encoder.") and k.endswith(".weight")) - 2
+    # Sequential weights: 1 input LN + (Linear + LN) per block + 1 output
+    # Linear -> blocks = (n_weight_keys - 2) / 2.
+    n_weight_keys = sum(
+        1 for k in sd if k.startswith("encoder.") and k.endswith(".weight")
+    )
+    n_blocks = (n_weight_keys - 2) // 2
     fc_w = np.stack([sd[f"encoder.{2 + 3 * i}.weight"].T for i in range(n_blocks)])
     fc_ln_scale = np.stack([sd[f"encoder.{3 + 3 * i}.weight"] for i in range(n_blocks)])
     fc_ln_bias = np.stack([sd[f"encoder.{3 + 3 * i}.bias"] for i in range(n_blocks)])
@@ -80,9 +85,10 @@ def import_encoder(
 def import_cpc(state_dict: Dict[str, Any]) -> CPCParams:
     """Map the reference CPCLoss state_dict (12 Linear predictors)."""
     sd = {k: _np(v) for k, v in state_dict.items()}
+    prefix = "predictors." if any(k.startswith("predictors.") for k in sd) else ""
     n = sum(1 for k in sd if k.endswith(".weight"))
-    w = np.stack([sd[f"predictors.{k}.weight"].T for k in range(n)])
-    b = np.stack([sd[f"predictors.{k}.bias"] for k in range(n)])
+    w = np.stack([sd[f"{prefix}{k}.weight"].T for k in range(n)])
+    b = np.stack([sd[f"{prefix}{k}.bias"] for k in range(n)])
     return CPCParams(w=jnp.asarray(w), b=jnp.asarray(b))
 
 
