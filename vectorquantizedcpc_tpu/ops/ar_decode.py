@@ -225,7 +225,7 @@ def fused_ar_decode(
     z_indices: jax.Array,
     speaker: jax.Array,
     rng: jax.Array,
-    chunk: int = 64,
+    chunk: int = 0,
     greedy: bool = False,
     precision: str = "bf16",
     interpret: bool = False,
@@ -246,6 +246,14 @@ def fused_ar_decode(
 
     cond = build_conditioning(params, conf, z_indices, speaker)
     b, t, _ = cond.shape
+
+    if chunk <= 0:
+        # VMEM budget heuristic: the streamed cond chunk is double-buffered
+        # (2 x chunk x B x 3H bf16) next to ~7 MiB of resident weights; keep
+        # the pipeline under ~6 MiB while amortizing grid overhead.
+        proj3h_bytes = 2 * 3 * hidden * b * 2  # double-buffered bf16 row
+        chunk = max(8, min(256, (6 << 20) // proj3h_bytes))
+        chunk = 1 << (chunk.bit_length() - 1)  # round down to a power of 2
 
     # Hoisted projections (XLA MXU matmuls, full sequence at once).
     wx_embed, wx_cond = gru.wx[:embed_dim], gru.wx[embed_dim:]
