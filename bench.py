@@ -24,10 +24,24 @@ import traceback
 import numpy as np
 
 
-def _bench(fn, n_rep=3):
+def _bench(fn, n_rep=3, min_of=False):
+    """Mean of a pipelined run (default) or min of per-rep timings.
+
+    ``min_of`` suits long single dispatches (AR decode ~1 s): the tunneled
+    device shows multi-10% run-to-run noise, and min is the standard robust
+    estimator. Short steps keep the pipelined mean so per-dispatch tunnel
+    latency isn't billed to every step.
+    """
     import jax
 
     jax.block_until_ready(fn(0))  # compile
+    if min_of:
+        best = float("inf")
+        for i in range(n_rep):
+            t0 = time.time()
+            jax.block_until_ready(fn(i + 1))
+            best = min(best, time.time() - t0)
+        return best
     t0 = time.time()
     for i in range(n_rep):
         out = fn(i + 1)
@@ -81,7 +95,9 @@ def main() -> None:
                     params, net, z, spk, key, precision=p
                 )
             )
-            dt = _bench(lambda i, d=decode: d(jax.random.key(i)))
+            dt = _bench(
+                lambda i, d=decode: d(jax.random.key(i)), n_rep=4, min_of=True
+            )
             result[f"decode_{precision}_rtf"] = round(dt / (t_decode / sr), 5)
             result[f"decode_{precision}_samples_per_s"] = round(
                 batch * t_decode / dt
@@ -150,6 +166,47 @@ def main() -> None:
         result["cpc_vs_p100"] = round(1.0 / dt / 15.5, 2)  # README.md:106
     except Exception:
         errors.append("cpc: " + traceback.format_exc(limit=2))
+
+    # ---- Vocoder training step at reference shape. ------------------------
+    # Reference: 0.84 it/s on a Colab GPU at batch 32 x 5,120 samples
+    # (README.md:107, config.py:101,116-117).
+    try:
+        from vectorquantizedcpc_tpu.models.encoder import encoder_init
+        from vectorquantizedcpc_tpu.training import vocoder as voc_train
+
+        enc_params_v, vq_state_v = encoder_init(
+            jax.random.key(3), conf.model.encoder
+        )
+        vstate = voc_train.init_train_state(conf, jax.random.key(4))
+        vstep = voc_train.make_train_step(conf)
+        vb = conf.data.loader.batch_size  # 32
+        clip = conf.data.dataset.clip_length_mel  # 32
+        hop = conf.data.dataset.mel_stft_stride  # 160
+        vaudio = jnp.asarray(
+            rng.integers(0, 256, size=(vb, clip * hop + 1)).astype(np.int32)
+        )
+        vmels = jnp.asarray(
+            rng.normal(size=(vb, 80, clip)).astype(np.float32)
+        )
+        vspk = jnp.asarray(
+            rng.integers(
+                0, conf.training_vocoder.model.n_speakers, size=(vb,)
+            ).astype(np.int32)
+        )
+        vholder = {"state": vstate}
+
+        def vrun(i):
+            vholder["state"], vmetrics = vstep(
+                vholder["state"], enc_params_v, vq_state_v,
+                vaudio, vmels, vspk, np.float32(4e-4),
+            )
+            return vmetrics["loss"]
+
+        dt = _bench(vrun, n_rep=5)
+        result["vocoder_train_steps_per_s"] = round(1.0 / dt, 2)
+        result["vocoder_train_vs_ref_gpu"] = round(1.0 / dt / 0.84, 1)
+    except Exception:
+        errors.append("vocoder_train: " + traceback.format_exc(limit=2))
 
     # ---- Batched encoder inference frames/s. -----------------------------
     try:
