@@ -1,0 +1,131 @@
+"""Segmented decode state handoff + continuous-batching server exactness."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vectorquantizedcpc_tpu.configs import load_conf
+from vectorquantizedcpc_tpu.infer.serving import ContinuousBatcher
+from vectorquantizedcpc_tpu.models.vocoder import (
+    build_conditioning_frames,
+    vocoder_init,
+)
+from vectorquantizedcpc_tpu.ops.ar_decode import (
+    fused_ar_decode,
+    fused_ar_decode_segment,
+    init_decode_state,
+    prep_decode_weights,
+    project_cond_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    conf = load_conf(
+        [
+            "size_latent_codebook=16",
+            "dim_latent=8",
+            "training_vocoder.model.n_speakers=4",
+            "training_vocoder.model.network.dim_speaker_embedding=8",
+            "training_vocoder.model.network.rnnms.dim_voc_latent=16",
+            "training_vocoder.model.network.rnnms.wave_ar.size_i_embed_ar=16",
+            "training_vocoder.model.network.rnnms.wave_ar.size_h_rnn=32",
+            "training_vocoder.model.network.rnnms.wave_ar.size_h_fc=16",
+            "data.dataset.mel_stft_stride=8",
+        ]
+    )
+    net = conf.training_vocoder.model.network
+    params = vocoder_init(jax.random.key(0), net)
+    return params, net
+
+
+def test_segment_chaining_matches_single_shot(setup, rng):
+    """Greedy decode in 3 chained segments == one-shot fused decode.
+
+    Proves the state handoff (GRU hidden + previous sample) is exact across
+    segment boundaries — the property continuous batching rests on.
+    """
+    params, net = setup
+    z = jnp.asarray(rng.integers(0, 16, size=(2, 12)))  # -> 24 frames
+    spk = jnp.asarray([0, 2])
+    hop = net.rnnms.upsampling_t
+
+    single = fused_ar_decode(
+        params, net, z, spk, jax.random.key(7), greedy=True, interpret=True
+    )
+
+    weights = prep_decode_weights(params, net)
+    cond = project_cond_frames(
+        weights, build_conditioning_frames(params, net, z, spk)
+    )  # (2, 24, 3H)
+    state = init_decode_state(2, net)
+    outs = []
+    for s0 in range(0, 24, 8):
+        seg, state = fused_ar_decode_segment(
+            weights,
+            net,
+            cond[:, s0 : s0 + 8],
+            state,
+            jax.random.key(0),
+            greedy=True,
+            interpret=True,
+        )
+        outs.append(np.asarray(seg))
+    chained = np.concatenate(outs, axis=1)  # mu-law classes (2, 24*hop)
+
+    from vectorquantizedcpc_tpu.dsp.mulaw import mulaw_decode
+
+    # Decode classes -> wave through the same jnp path as fused_ar_decode:
+    # the numpy expm1 differs from XLA's by 1 ulp, which would fail the
+    # bit-exactness assertion for reasons unrelated to the kernel.
+    chained_wave = np.asarray(mulaw_decode(jnp.asarray(chained), 256))
+    assert chained_wave.shape == single.shape == (2, 24 * hop)
+    np.testing.assert_array_equal(chained_wave, np.asarray(single))
+
+
+def test_continuous_batcher_matches_single_shot(setup, rng):
+    """Streams of different lengths, admitted as slots free, decode to
+    exactly the single-shot result, independent of co-resident streams."""
+    params, net = setup
+    requests = [
+        (rng.integers(0, 16, size=(n_codes,)), int(spk))
+        for n_codes, spk in [(8, 0), (12, 1), (4, 3), (10, 2), (6, 1)]
+    ]
+
+    server = ContinuousBatcher(
+        params, net, slots=2, segment_frames=4, max_frames=64,
+        greedy=True, interpret=True,
+    )
+    rids = [server.submit(z, s) for z, s in requests]
+    waves = server.run()
+    assert set(waves) == set(rids)
+    assert server.stats["samples_out"] == sum(
+        2 * len(z) * net.rnnms.upsampling_t for z, _ in requests
+    )
+
+    for rid, (z, spk) in zip(rids, requests):
+        single = np.asarray(
+            fused_ar_decode(
+                params,
+                net,
+                jnp.asarray(z)[None],
+                jnp.asarray([spk]),
+                jax.random.key(0),
+                greedy=True,
+                interpret=True,
+            )[0]
+        )
+        np.testing.assert_array_equal(waves[rid], single)
+
+
+def test_batcher_rejects_oversized(setup):
+    params, net = setup
+    server = ContinuousBatcher(
+        params, net, slots=1, segment_frames=4, max_frames=8,
+        greedy=True, interpret=True,
+    )
+    server.submit(np.zeros(32, np.int32), 0)
+    with pytest.raises(ValueError, match="max_frames"):
+        server.step()

@@ -89,18 +89,21 @@ def vocoder_init(rng: jax.Array, conf: ConfVocoderNetwork) -> VocoderParams:
     )
 
 
-def build_conditioning(
+def build_conditioning_frames(
     params: VocoderParams,
     conf: ConfVocoderNetwork,
     z_indices: jax.Array,
     speaker: jax.Array,
     compute_dtype: jnp.dtype = jnp.float32,
 ) -> jax.Array:
-    """Codes + speaker -> sample-rate conditioning series (B, T_samples, V).
+    """Codes + speaker -> frame-rate conditioning series (B, 2*Tz, V).
 
     Pipeline (reference network_vocoder.py:54-67 then rnnms): embed codes,
     x2 nearest upsample (undo the encoder's /2), broadcast speaker embed,
-    concat -> PreNet biGRU stack -> x ``upsampling_t`` nearest upsample.
+    concat -> PreNet biGRU stack. The final x ``upsampling_t`` nearest
+    upsample to sample rate is the caller's (build_conditioning) — keeping
+    the frame-rate series lets downstream matmuls run 160x smaller and lets
+    the serving layer pool conditioning compactly (infer/serving.py).
     """
     z_embed = jnp.take(params.code_embedding, z_indices, axis=0)  # (B, Tz, E)
     z_up = jnp.repeat(z_embed, 2, axis=1)  # nearest x2, == F.interpolate
@@ -112,8 +115,22 @@ def build_conditioning(
 
     for fwd, bwd in zip(params.prenet_fwd, params.prenet_bwd):
         cond = bigru_apply(fwd, bwd, cond)
+    return cond
 
-    # Sample-rate upsampling: each frame conditions `upsampling_t` samples.
+
+def build_conditioning(
+    params: VocoderParams,
+    conf: ConfVocoderNetwork,
+    z_indices: jax.Array,
+    speaker: jax.Array,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Codes + speaker -> sample-rate conditioning series (B, T_samples, V).
+
+    Each frame conditions ``upsampling_t`` consecutive samples (nearest
+    upsample, reference rnnms contract at config.py:70).
+    """
+    cond = build_conditioning_frames(params, conf, z_indices, speaker, compute_dtype)
     return jnp.repeat(cond, conf.rnnms.upsampling_t, axis=1)
 
 

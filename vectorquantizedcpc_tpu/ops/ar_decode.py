@@ -29,7 +29,7 @@ lax.scan reference implementation (models/vocoder.py:vocoder_generate).
 """
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..configs import ConfVocoderNetwork
-from ..models.vocoder import VocoderParams, build_conditioning
+from ..models.vocoder import VocoderParams
 from .quant import quantize_int8
 
 
@@ -57,6 +57,8 @@ def _mm(x_f32, w_ref, scale_ref, use_int8: bool):
 def _decode_kernel(
     seed_ref,  # (1,) int32 in SMEM (scalar prefetch)
     cond_ref,  # (CHUNK, B, 3H) bf16 — streamed per grid step
+    h0_ref,  # (B, H) f32 — initial GRU state (resident)
+    prev0_ref,  # (B, 1) int32 — previous mu-law class entering this call
     embed_proj_ref,  # (n_classes, 3H) bf16 — resident
     wh_ref,  # (H, 3H) bf16/int8 — resident
     wh_scale_ref,  # (1, 3H) f32
@@ -68,6 +70,7 @@ def _decode_kernel(
     fc2_scale_ref,  # (1, n_classes) f32
     fc2_b_ref,  # (1, n_classes) f32
     out_ref,  # (CHUNK, B) int32 — written per grid step
+    h_out_ref,  # (B, H) f32 — final GRU state (constant block)
     h_scratch,  # (B, H) f32 — persists across grid steps
     emb_scratch,  # (B, 3H) f32 — embedding rows of the previous sample
     *,
@@ -75,7 +78,6 @@ def _decode_kernel(
     batch: int,
     hidden: int,
     n_classes: int,
-    init_class: int,
     greedy: bool,
     use_int8: bool,
 ):
@@ -83,11 +85,15 @@ def _decode_kernel(
 
     @pl.when(step_idx == 0)
     def _init():
-        h_scratch[:] = jnp.zeros_like(h_scratch)
-        # Previous sample starts at mu-law silence for every batch row.
-        emb_scratch[:] = jnp.broadcast_to(
-            embed_proj_ref[init_class, :].astype(jnp.float32),
-            emb_scratch.shape,
+        h_scratch[:] = h0_ref[:]
+        # Stage the embedding-row projection of the carried-in previous
+        # sample (one-hot MXU gather; same trick as the step body).
+        onehot0 = (
+            prev0_ref[:]
+            == jax.lax.broadcasted_iota(jnp.int32, (batch, n_classes), 1)
+        ).astype(jnp.bfloat16)
+        emb_scratch[:] = jnp.dot(
+            onehot0, embed_proj_ref[:], preferred_element_type=jnp.float32
         )
 
     if not greedy:
@@ -154,6 +160,10 @@ def _decode_kernel(
         return 0
 
     jax.lax.fori_loop(0, chunk, body, 0, unroll=False)
+    # State handoff for segmented/continuous decode: the block maps to a
+    # constant index, so it lives in VMEM across the grid and flushes to
+    # HBM once at the end.
+    h_out_ref[:] = h_scratch[:]
 
 
 @functools.partial(
@@ -164,6 +174,8 @@ def _decode_kernel(
 )
 def _fused_decode_impl(
     cond_proj: jax.Array,  # (T, B, 3H) bf16
+    h0: jax.Array,  # (B, H) f32
+    prev0: jax.Array,  # (B, 1) int32
     embed_proj: jax.Array,  # (n_classes, 3H) bf16
     wh, wh_scale, bh,
     fc1_w, fc1_scale, fc1_b,
@@ -187,10 +199,16 @@ def _fused_decode_impl(
                 (chunk, b, proj3h), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-        ] + [resident() for _ in range(10)],
-        out_specs=pl.BlockSpec(
-            (chunk, b), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-        ),
+        ] + [resident() for _ in range(12)],
+        out_specs=[
+            pl.BlockSpec(
+                (chunk, b), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (b, conf_hidden), lambda i, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
         scratch_shapes=[
             pltpu.VMEM((b, conf_hidden), jnp.float32),
             pltpu.VMEM((b, proj3h), jnp.float32),
@@ -202,21 +220,168 @@ def _fused_decode_impl(
         batch=b,
         hidden=conf_hidden,
         n_classes=conf_classes,
-        init_class=conf_classes // 2,
         greedy=greedy,
         use_int8=use_int8,
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((t, b), jnp.int32),
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b), jnp.int32),
+            jax.ShapeDtypeStruct((b, conf_hidden), jnp.float32),
+        ],
         grid_spec=grid_spec,
         # The TPU interpreter (not the generic one) emulates pltpu
         # primitives (PRNG etc.) when testing on CPU.
         interpret=pltpu.InterpretParams() if interpret else False,
     )(
-        seed, cond_proj, embed_proj,
+        seed, cond_proj, h0, prev0, embed_proj,
         wh, wh_scale, bh, fc1_w, fc1_scale, fc1_b, fc2_w, fc2_scale, fc2_b,
     )
+
+
+class DecodeWeights(NamedTuple):
+    """Kernel-resident tensors, prepared once per (params, precision).
+
+    ``embed_proj`` is the prev-sample embedding table pre-projected through
+    the GRU input kernel; ``wx_cond``/``bx`` project conditioning frames
+    (project_cond_frames). Everything else feeds the kernel directly.
+    """
+
+    embed_proj: jax.Array  # (n_classes, 3H) bf16
+    wx_cond: jax.Array  # (V, 3H)
+    bx: jax.Array  # (3H,)
+    wh: jax.Array
+    wh_scale: jax.Array
+    bh: jax.Array  # (1, 3H) f32
+    fc1_w: jax.Array
+    fc1_scale: jax.Array
+    fc1_b: jax.Array
+    fc2_w: jax.Array
+    fc2_scale: jax.Array
+    fc2_b: jax.Array
+
+
+class DecodeState(NamedTuple):
+    """Carried AR state for segmented / continuous decode."""
+
+    h: jax.Array  # (B, H) f32 GRU hidden
+    prev: jax.Array  # (B,) int32 previous mu-law class
+
+
+def prep_decode_weights(
+    params: VocoderParams, conf: ConfVocoderNetwork, precision: str = "bf16"
+) -> DecodeWeights:
+    """Hoist + (optionally) quantize everything the kernel keeps in VMEM."""
+    use_int8 = precision == "int8"
+    gru = params.ar_gru
+    embed_dim = params.ar_embed.shape[1]
+    wx_embed, wx_cond = gru.wx[:embed_dim], gru.wx[embed_dim:]
+
+    def prep(w):
+        if use_int8:
+            q = quantize_int8(w)
+            return q.values, q.scale
+        return w.astype(jnp.bfloat16), jnp.ones((1, w.shape[1]), jnp.float32)
+
+    wh, wh_scale = prep(gru.wh)
+    fc1_w, fc1_scale = prep(params.fc1_w)
+    fc2_w, fc2_scale = prep(params.fc2_w)
+    return DecodeWeights(
+        embed_proj=(params.ar_embed @ wx_embed).astype(jnp.bfloat16),
+        wx_cond=wx_cond,
+        bx=gru.bx,
+        wh=wh,
+        wh_scale=wh_scale,
+        bh=gru.bh.reshape(1, -1).astype(jnp.float32),
+        fc1_w=fc1_w,
+        fc1_scale=fc1_scale,
+        fc1_b=params.fc1_b.reshape(1, -1).astype(jnp.float32),
+        fc2_w=fc2_w,
+        fc2_scale=fc2_scale,
+        fc2_b=params.fc2_b.reshape(1, -1).astype(jnp.float32),
+    )
+
+
+def project_cond_frames(
+    weights: DecodeWeights, cond_frames: jax.Array
+) -> jax.Array:
+    """Frame-rate conditioning (B, Tf, V) -> GRU input projection (B, Tf, 3H).
+
+    One MXU matmul per utterance at FRAME rate — ``upsampling_t`` (160x)
+    smaller than projecting after sample-rate upsampling. The serving layer
+    pools these compactly and repeats per segment.
+    """
+    return (cond_frames @ weights.wx_cond + weights.bx).astype(jnp.bfloat16)
+
+
+def init_decode_state(
+    batch: int, conf: ConfVocoderNetwork
+) -> DecodeState:
+    """Fresh-utterance state: zero hidden, mu-law silence previous sample."""
+    n_classes = 2 ** conf.rnnms.bits_mu_law
+    return DecodeState(
+        h=jnp.zeros((batch, conf.rnnms.wave_ar.size_h_rnn), jnp.float32),
+        prev=jnp.full((batch,), n_classes // 2, jnp.int32),
+    )
+
+
+def _chunk_heuristic(batch: int, hidden: int) -> int:
+    # VMEM budget: the streamed cond chunk is double-buffered
+    # (2 x chunk x B x 3H bf16) next to ~7 MiB of resident weights; keep
+    # the pipeline under ~6 MiB while amortizing grid overhead.
+    proj3h_bytes = 2 * 3 * hidden * batch * 2
+    return max(8, min(256, (6 << 20) // proj3h_bytes))
+
+
+def fused_ar_decode_segment(
+    weights: DecodeWeights,
+    conf: ConfVocoderNetwork,
+    cond_proj_frames: jax.Array,  # (B, Sf, 3H) bf16 (project_cond_frames)
+    state: DecodeState,
+    rng: jax.Array,
+    chunk: int = 0,
+    greedy: bool = False,
+    precision: str = "bf16",
+    interpret: bool = False,
+) -> Tuple[jax.Array, DecodeState]:
+    """Decode ``Sf`` conditioning frames continuing from ``state``.
+
+    Returns (mu-law classes (B, Sf*upsampling_t) int32, next state). The
+    state handoff is exact: chaining segments reproduces a single-shot
+    greedy decode bit-for-bit (tests/test_ar_decode.py). Powers the
+    continuous-batching server (infer/serving.py).
+    """
+    hop = conf.rnnms.upsampling_t
+    hidden = conf.rnnms.wave_ar.size_h_rnn
+    n_classes = 2 ** conf.rnnms.bits_mu_law
+    b, sf, _ = cond_proj_frames.shape
+    t = sf * hop
+
+    if chunk <= 0:
+        # The chunk must divide T exactly (padding would advance the carried
+        # state past the segment): largest divisor under the VMEM budget.
+        target = _chunk_heuristic(b, hidden)
+        chunk = next(d for d in range(min(target, t), 0, -1) if t % d == 0)
+
+    cond_proj = jnp.repeat(cond_proj_frames, hop, axis=1)  # (B, T, 3H)
+    cond_proj = jnp.swapaxes(cond_proj, 0, 1)  # (T, B, 3H)
+
+    seed = jax.random.randint(rng, (1,), 0, np.iinfo(np.int32).max, jnp.int32)
+    samples, h_final = _fused_decode_impl(
+        cond_proj, state.h, state.prev[:, None], weights.embed_proj,
+        weights.wh, weights.wh_scale, weights.bh,
+        weights.fc1_w, weights.fc1_scale, weights.fc1_b,
+        weights.fc2_w, weights.fc2_scale, weights.fc2_b,
+        seed,
+        conf_hidden=hidden,
+        conf_classes=n_classes,
+        chunk=chunk,
+        greedy=greedy,
+        use_int8=precision == "int8",
+        interpret=interpret,
+    )
+    new_state = DecodeState(h=h_final, prev=samples[-1, :])
+    return jnp.swapaxes(samples, 0, 1), new_state
 
 
 def fused_ar_decode(
@@ -237,29 +402,24 @@ def fused_ar_decode(
     (weight-only quantized matmuls).
     """
     from ..dsp.mulaw import mulaw_decode
+    from ..models.vocoder import build_conditioning_frames
 
     n_classes = 2 ** conf.rnnms.bits_mu_law
     hidden = conf.rnnms.wave_ar.size_h_rnn
-    gru = params.ar_gru
-    embed_dim = params.ar_embed.shape[1]
     use_int8 = precision == "int8"
+    hop = conf.rnnms.upsampling_t
 
-    cond = build_conditioning(params, conf, z_indices, speaker)
-    b, t, _ = cond.shape
+    weights = prep_decode_weights(params, conf, precision)
+    cond_frames = build_conditioning_frames(params, conf, z_indices, speaker)
+    cond_proj = jnp.repeat(
+        project_cond_frames(weights, cond_frames), hop, axis=1
+    )
+    b, t, _ = cond_proj.shape
+    cond_proj = jnp.swapaxes(cond_proj, 0, 1)  # (T, B, 3H)
 
     if chunk <= 0:
-        # VMEM budget heuristic: the streamed cond chunk is double-buffered
-        # (2 x chunk x B x 3H bf16) next to ~7 MiB of resident weights; keep
-        # the pipeline under ~6 MiB while amortizing grid overhead.
-        proj3h_bytes = 2 * 3 * hidden * b * 2  # double-buffered bf16 row
-        chunk = max(8, min(256, (6 << 20) // proj3h_bytes))
-        chunk = 1 << (chunk.bit_length() - 1)  # round down to a power of 2
-
-    # Hoisted projections (XLA MXU matmuls, full sequence at once).
-    wx_embed, wx_cond = gru.wx[:embed_dim], gru.wx[embed_dim:]
-    embed_proj = (params.ar_embed @ wx_embed).astype(jnp.bfloat16)
-    cond_proj = (cond @ wx_cond + gru.bx).astype(jnp.bfloat16)
-    cond_proj = jnp.swapaxes(cond_proj, 0, 1)  # (T, B, 3H)
+        c = _chunk_heuristic(b, hidden)
+        chunk = 1 << (c.bit_length() - 1)  # round down to a power of 2
 
     # Pad T to a chunk multiple (extra steps generate past the end; sliced
     # off below — the AR recursion is causal so earlier samples are exact).
@@ -267,22 +427,13 @@ def fused_ar_decode(
     if t_pad != t:
         cond_proj = jnp.pad(cond_proj, ((0, t_pad - t), (0, 0), (0, 0)))
 
-    def prep(w):
-        if use_int8:
-            q = quantize_int8(w)
-            return q.values, q.scale
-        return w.astype(jnp.bfloat16), jnp.ones((1, w.shape[1]), jnp.float32)
-
-    wh, wh_scale = prep(gru.wh)
-    fc1_w, fc1_scale = prep(params.fc1_w)
-    fc2_w, fc2_scale = prep(params.fc2_w)
-
+    state0 = init_decode_state(b, conf)
     seed = jax.random.randint(rng, (1,), 0, np.iinfo(np.int32).max, jnp.int32)
-    samples = _fused_decode_impl(
-        cond_proj, embed_proj,
-        wh, wh_scale, gru.bh.reshape(1, -1).astype(jnp.float32),
-        fc1_w, fc1_scale, params.fc1_b.reshape(1, -1).astype(jnp.float32),
-        fc2_w, fc2_scale, params.fc2_b.reshape(1, -1).astype(jnp.float32),
+    samples, _ = _fused_decode_impl(
+        cond_proj, state0.h, state0.prev[:, None], weights.embed_proj,
+        weights.wh, weights.wh_scale, weights.bh,
+        weights.fc1_w, weights.fc1_scale, weights.fc1_b,
+        weights.fc2_w, weights.fc2_scale, weights.fc2_b,
         seed,
         conf_hidden=hidden,
         conf_classes=n_classes,
