@@ -228,7 +228,9 @@ def main() -> None:
         enc_fn = jax.jit(
             lambda m: encoder_encode(enc_params, vq_state, m, jnp.bfloat16)[2]
         )
-        dt = _bench(lambda i: enc_fn(mels_inf), n_rep=5)
+        # Plenty of reps: a single call is ~ms-scale, so per-dispatch tunnel
+        # latency dominates small-n means (observed 2x run-to-run swings).
+        dt = _bench(lambda i: enc_fn(mels_inf), n_rep=30)
         result["encoder_frames_per_s"] = round(b * t / dt)
     except Exception:
         errors.append("encoder: " + traceback.format_exc(limit=2))

@@ -120,6 +120,41 @@ def test_continuous_batcher_matches_single_shot(setup, rng):
         np.testing.assert_array_equal(waves[rid], single)
 
 
+def test_continuous_batcher_sharded_matches_single_shot(setup, rng):
+    """Pod-slice serving: slots sharded over the mesh data axis decode the
+    same bits as the single-device batcher / single-shot decode."""
+    from vectorquantizedcpc_tpu.parallel.mesh import make_mesh
+
+    params, net = setup
+    mesh = make_mesh(data=4, model=1)
+    requests = [
+        (rng.integers(0, 16, size=(n_codes,)), int(spk))
+        for n_codes, spk in [(8, 0), (12, 1), (4, 3), (10, 2), (6, 1), (8, 2)]
+    ]
+
+    server = ContinuousBatcher(
+        params, net, slots=4, segment_frames=4, max_frames=64,
+        greedy=True, interpret=True, mesh=mesh,
+    )
+    rids = [server.submit(z, s) for z, s in requests]
+    waves = server.run()
+    assert set(waves) == set(rids)
+
+    for rid, (z, spk) in zip(rids, requests):
+        single = np.asarray(
+            fused_ar_decode(
+                params,
+                net,
+                jnp.asarray(z)[None],
+                jnp.asarray([spk]),
+                jax.random.key(0),
+                greedy=True,
+                interpret=True,
+            )[0]
+        )
+        np.testing.assert_array_equal(waves[rid], single)
+
+
 def test_batcher_rejects_oversized(setup):
     params, net = setup
     server = ContinuousBatcher(

@@ -58,6 +58,31 @@ class _FeatureStore:
         return self._load(rec, "mulaw")
 
 
+def _open_native(store: _FeatureStore, kind: str, dtype, rows: int):
+    """Native window store over every ``<kind>.npy`` (None if unavailable).
+
+    Also installs ``store.native_index``: record identity -> file slot, so
+    datasets can translate their record draws into native sample calls.
+    """
+    from .native import NpyWindowStore, native_available
+
+    if not native_available():
+        return None
+    recs = store.manifest["utterances"]
+    if not recs:
+        return None
+    paths = [
+        store.data_dir / f"{r['speaker']}/{r['name']}.{kind}.npy"
+        for r in recs
+    ]
+    if not hasattr(store, "native_index"):
+        store.native_index = {id(r): i for i, r in enumerate(recs)}
+    try:
+        return NpyWindowStore(paths, dtype, rows)
+    except (ValueError, RuntimeError):
+        return None
+
+
 class CPCMelSpkDataset:
     """Per-speaker stacked mel clips for CPC training.
 
@@ -113,6 +138,61 @@ class CPCMelSpkDataset:
             start = rng.integers(0, rec["n_frames"] - self.clip_frames + 1)
             clips[j] = mel[:, start : start + self.clip_frames]
         return clips, self.store.speaker_index[speaker]
+
+    def _draws(self, idx: int):
+        """The exact (record, start) draws of ``__getitem__(idx)``."""
+        rng = np.random.default_rng(
+            (self.seed * 1_000_003 + self.epoch) * 100_003 + idx
+        )
+        speaker = self.usable[idx]
+        records = [
+            r
+            for r in self.store.by_speaker[speaker]
+            if r["n_frames"] >= self.clip_frames
+        ]
+        chosen = rng.choice(len(records), size=self.n_utt, replace=True)
+        out = []
+        for r_idx in chosen:
+            rec = records[r_idx]
+            start = rng.integers(0, rec["n_frames"] - self.clip_frames + 1)
+            out.append((rec, int(start)))
+        return out, self.store.speaker_index[speaker]
+
+    def _native(self):
+        if not hasattr(self, "_native_store"):
+            self._native_store = _open_native(
+                self.store, "mel", np.float32, self.conf.preprocess.n_mels
+            )
+        return self._native_store
+
+    def sample_batch(self, indices) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched, GIL-free assembly of ``[self[i] for i in indices]``.
+
+        Identical draws to per-item access (same rng streams); the window
+        copies run in the native engine (data/native.py) when available,
+        else per-item numpy. Used by PrefetchLoader.
+        """
+        native = self._native()
+        if native is None:
+            items = [self[int(i)] for i in indices]
+            mels, spks = zip(*items)
+            return np.stack(mels), np.asarray(spks)
+        file_ids, starts, spks = [], [], []
+        for idx in indices:
+            draws, spk = self._draws(int(idx))
+            spks.append(spk)
+            for rec, start in draws:
+                file_ids.append(self.store.native_index[id(rec)])
+                starts.append(start)
+        flat = native.sample(
+            np.asarray(file_ids, np.int32), np.asarray(starts, np.int64),
+            self.clip_frames,
+        )
+        b = len(indices)
+        return (
+            flat.reshape(b, self.n_utt, *flat.shape[1:]),
+            np.asarray(spks),
+        )
 
 
 class MulawMelSpkDataset:
@@ -187,6 +267,59 @@ class MulawMelSpkDataset:
             mulaw[a0 : a0 + self.clip_frames * self.hop + 1], np.int32
         )
         return audio_clip, mel_clip, spk
+
+    def _draw(self, idx: int) -> int:
+        """The exact clip-start draw of ``__getitem__(idx)`` (train mode)."""
+        rec = self.records[idx]
+        rng = np.random.default_rng(
+            (self.seed * 1_000_003 + self.epoch) * 99_991 + idx
+        )
+        max_start = rec["n_frames"] - self.clip_frames
+        max_start = min(
+            max_start, (rec["n_samples"] - 1) // self.hop - self.clip_frames
+        )
+        return int(rng.integers(0, max_start + 1))
+
+    def sample_batch(self, indices):
+        """Batched, GIL-free assembly of ``[self[i] for i in indices]``.
+
+        Train mode only (eval items are variable-length, batch=1). Same rng
+        draws as per-item access; aligned mel + mu-law windows copied by the
+        native engine when available, else per-item numpy.
+        """
+        if not self.train:
+            items = [self[int(i)] for i in indices]
+            a, m, s = zip(*items)
+            return np.stack(a), np.stack(m), np.asarray(s)
+        if not hasattr(self, "_native_stores"):
+            n_mels = self.conf.preprocess.n_mels
+            self._native_stores = (
+                _open_native(self.store, "mel", np.float32, n_mels),
+                _open_native(self.store, "mulaw", np.int16, 1),
+            )
+        mel_store, mulaw_store = self._native_stores
+        if mel_store is None or mulaw_store is None:
+            items = [self[int(i)] for i in indices]
+            a, m, s = zip(*items)
+            return np.stack(a), np.stack(m), np.asarray(s)
+
+        ids, starts, spks = [], [], []
+        for idx in indices:
+            rec = self.records[int(idx)]
+            ids.append(self.store.native_index[id(rec)])
+            starts.append(self._draw(int(idx)))
+            spks.append(self.store.speaker_index[rec["speaker"]])
+        ids = np.asarray(ids, np.int32)
+        starts = np.asarray(starts, np.int64)
+        mels = mel_store.sample(ids, starts, self.clip_frames)
+        audio = mulaw_store.sample(
+            ids, starts * self.hop, self.clip_frames * self.hop + 1
+        )
+        return (
+            audio.astype(np.int32),
+            mels.astype(np.float32, copy=False),
+            np.asarray(spks),
+        )
 
 
 def random_split_indices(n: int, n_val: int, seed: int = 42) -> Tuple[List[int], List[int]]:

@@ -69,6 +69,12 @@ class PrefetchLoader:
         return np.random.default_rng(self.seed * 7919 + self.epoch).permutation(n)
 
     def _assemble(self, indices: Sequence[int]):
+        # Datasets may expose a batched sampler (bit-identical to per-item
+        # access) that copies windows in the native GIL-free engine
+        # (data/native.py) — preferred: item loops contend with the dispatch
+        # thread for the GIL.
+        if hasattr(self.dataset, "sample_batch"):
+            return tuple(self.dataset.sample_batch(indices))
         items = [self.dataset[int(i)] for i in indices]
         parts = list(zip(*items))
         return tuple(np.stack(p) for p in parts)

@@ -33,6 +33,12 @@ network_vocoder.py:69-78):
   the caller asks for the wave. Steps therefore dispatch back-to-back and
   pipeline on the device — essential over high-latency links (the tunneled
   single-chip dev setup) and still a win on local hosts.
+- **Pod-slice scale-out** (``mesh=``): the slot pool shards over the mesh
+  ``data`` axis and the segment step runs under ``shard_map`` — every chip
+  decodes its own slot shard with a fully local kernel (zero per-step
+  collectives; the AR recursion never crosses slots), multiplying
+  aggregate samples/s by the data-axis size. Sampling keys are
+  decorrelated per shard via ``axis_index`` fold-in.
 """
 
 from __future__ import annotations
@@ -88,9 +94,19 @@ class ContinuousBatcher:
         greedy: bool = False,
         interpret: Optional[bool] = None,
         seed: int = 0,
+        mesh=None,
     ):
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
+        if mesh is not None:
+            from ..parallel.mesh import DATA_AXIS
+
+            n_data = mesh.shape[DATA_AXIS]
+            if slots % n_data != 0:
+                raise ValueError(
+                    f"slots={slots} must divide over the mesh data axis "
+                    f"({n_data})"
+                )
         self._params = params
         self._conf = conf
         self._slots = slots
@@ -122,12 +138,12 @@ class ContinuousBatcher:
         sf = segment_frames
         hop = self._hop
 
-        def step_fn(pool, positions, state, out_buf, key):
+        def step_core(weights, pool, positions, state, out_buf, key):
             seg = jax.vmap(
                 lambda p, s: jax.lax.dynamic_slice(p, (s, 0), (sf, proj3h))
             )(pool, positions)
             mulaw_seg, new_state = fused_ar_decode_segment(
-                self._weights,
+                weights,
                 conf,
                 seg,
                 state,
@@ -143,7 +159,42 @@ class ContinuousBatcher:
             )(out_buf, mulaw_seg, positions)
             return new_state, out_buf
 
-        self._step_fn = jax.jit(step_fn)
+        if mesh is None:
+            self._step_fn = jax.jit(
+                lambda pool, positions, state, out_buf, key: step_core(
+                    self._weights, pool, positions, state, out_buf, key
+                )
+            )
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import DATA_AXIS
+
+            dp, rep = P(DATA_AXIS), P()
+
+            def shard_step(weights, pool, positions, state, out_buf, key):
+                # Decorrelate sampling across shards; each chip's kernel
+                # sees only its own slots (no collectives in the hot loop).
+                key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+                return step_core(
+                    weights, pool, positions, state, out_buf, key
+                )
+
+            mapped = jax.shard_map(
+                shard_step,
+                mesh=mesh,
+                in_specs=(rep, dp, dp, dp, dp, rep),
+                out_specs=(dp, dp),
+                check_vma=False,
+            )
+            self._step_fn = jax.jit(
+                lambda pool, positions, state, out_buf, key: mapped(
+                    self._weights, pool, positions, state, out_buf, key
+                )
+            )
+            slot_sh = NamedSharding(mesh, dp)
+            self._pool = jax.device_put(self._pool, slot_sh)
+            self._out_buf = jax.device_put(self._out_buf, slot_sh)
+            self._state = jax.device_put(self._state, slot_sh)
 
         n_mid = self._n_classes // 2
 
