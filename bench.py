@@ -139,19 +139,56 @@ def main() -> None:
     except Exception:
         errors.append("scan: " + traceback.format_exc(limit=2))
 
+    # ---- Continuous-batching serving throughput (mixed lengths). ---------
+    try:
+        from vectorquantizedcpc_tpu.infer.serving import ContinuousBatcher
+
+        hop = net.rnnms.upsampling_t
+        buckets = [25, 50, 100]
+        server = ContinuousBatcher(
+            params, net, slots=16, segment_frames=32,
+            max_frames=2 * max(buckets) + 32,
+        )
+        for n in buckets:  # warm every compiled program on the path
+            server.submit(np.zeros(n, np.int32), 0)
+        server.run()
+        reqs = [
+            (
+                rng.integers(
+                    0, net.size_i_codebook, size=(int(rng.choice(buckets)),)
+                ),
+                int(rng.integers(0, net.n_speakers)),
+            )
+            for _ in range(48)
+        ]
+        for z_, s_ in reqs:
+            server.submit(z_, s_)
+        t0 = time.time()
+        server.run()
+        dt = time.time() - t0
+        valid = sum(2 * len(z_) * hop for z_, _ in reqs)
+        result["serving_samples_per_s"] = round(valid / dt)
+        result["serving_streams"] = len(reqs)
+    except Exception:
+        errors.append("serving: " + traceback.format_exc(limit=2))
+
     # ---- CPC training step at reference shape. ---------------------------
     try:
-        from vectorquantizedcpc_tpu.training.cpc import (
-            init_train_state,
-            make_train_step,
-        )
+        from vectorquantizedcpc_tpu.training.cpc import init_train_state
 
         state = init_train_state(conf, jax.random.key(0))
-        step = make_train_step(conf)
         tc = conf.training.cpc
-        mels = jnp.asarray(
+        # Measure the SHIPPED hot loop — the whole-epoch scan (one dispatch
+        # per epoch, training/cpc.py:make_train_epoch). Timing single
+        # dispatched steps instead reads ~12 ms/step of tunnel dispatch
+        # latency on top of ~0.5 ms/step of device compute.
+        from vectorquantizedcpc_tpu.training.cpc import make_train_epoch
+
+        n_batches = 50  # steps per epoch dispatch
+        epoch_mels = jnp.asarray(
             rng.normal(
                 size=(
+                    n_batches,
                     tc.n_speakers_per_batch,
                     tc.n_utterances_per_speaker,
                     80,
@@ -159,16 +196,16 @@ def main() -> None:
                 )
             ).astype(np.float32)
         )
-
+        train_epoch = make_train_epoch(conf)
         holder = {"state": state}
 
         def run(i):
-            holder["state"], metrics = step(
-                holder["state"], mels, jax.random.key(i), np.float32(4e-4)
+            holder["state"], metrics = train_epoch(
+                holder["state"], epoch_mels, np.float32(4e-4)
             )
             return metrics["loss"]
 
-        dt = _bench(run, n_rep=10)
+        dt = _bench(run, n_rep=4) / n_batches
         result["cpc_train_steps_per_s"] = round(1.0 / dt, 1)
         result["cpc_vs_p100"] = round(1.0 / dt / 15.5, 2)  # README.md:106
     except Exception:

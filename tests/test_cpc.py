@@ -147,3 +147,57 @@ def test_jit_and_grad_finite(setup):
     assert np.isfinite(float(loss))
     assert accs.shape == (6,)
     assert float(accs.min()) >= 0 and float(accs.max()) <= 1
+
+
+def test_bf16_mxu_gather_matches_index_gather(setup):
+    """The bf16 fast path (utterance gather + one-hot MXU selection,
+    models/cpc.py) must be bit-identical to advanced-index gathering the
+    same bf16 values — selection by a 0/1 matmul has one nonzero per row."""
+    params, z, c = setup
+    zb = jnp.asarray(z).astype(jnp.bfloat16)
+    cb = jnp.asarray(c).astype(jnp.bfloat16)
+    k_steps = CONF.n_prediction_steps // 2
+    length = z.shape[1] - k_steps
+    utt_index, seq_index = sample_negative_indices(
+        CONF, jax.random.key(9), length
+    )
+    loss_fast, acc_fast = cpc_apply_with_indices(
+        params, CONF, zb, cb, utt_index, seq_index
+    )
+    # Reference values: run the f32-branch gather on the SAME bf16 data by
+    # viewing it as f32-typed container is not possible; instead gather in
+    # numpy (exact) and score through the same jnp ops.
+    s, u = CONF.n_speakers_per_batch, CONF.n_utterances_per_speaker
+    z4 = np.asarray(zb.astype(jnp.float32)).reshape(s, u, z.shape[1], CONF.z_dim)
+    # numpy mirror of the fast path's selection, exact by construction
+    time_idx = np.arange(length)[None, :] + np.arange(1, k_steps + 1)[:, None]
+    z_shift = np.moveaxis(z4[:, :, time_idx, :], 2, 0)
+    spk = np.arange(s)[None, :, None, None, None]
+    kk = np.arange(k_steps)[:, None, None, None, None]
+    utt = np.asarray(utt_index)[:, None, :, :, None]
+    z_neg_ref = z_shift[kk, spk, utt, np.asarray(seq_index)]
+
+    from vectorquantizedcpc_tpu.models import cpc as cpc_mod
+
+    # Recompute z_negatives through the fast path in isolation (the same
+    # two one-hot einsum stages as models/cpc.py).
+    zr = zb.reshape(s, u, z.shape[1], CONF.z_dim)
+    tj = jnp.asarray(time_idx)
+    zs = jnp.moveaxis(zr[:, :, tj, :], 2, 0)
+    onehot_u = (
+        jnp.asarray(utt_index)[..., None] == jnp.arange(u)
+    ).astype(zb.dtype)
+    z_utt = jnp.einsum(
+        "kunv,ksvmz->ksunmz", onehot_u, zs, preferred_element_type=zb.dtype
+    )
+    onehot = (jnp.asarray(seq_index)[..., None] == jnp.arange(length)).astype(
+        zb.dtype
+    )
+    z_neg_fast = jnp.einsum(
+        "ksunlm,ksunmz->ksunlz", onehot, z_utt,
+        preferred_element_type=zb.dtype,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(z_neg_fast.astype(jnp.float32)), z_neg_ref
+    )
+    assert np.isfinite(float(loss_fast))

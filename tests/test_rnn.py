@@ -115,3 +115,38 @@ def test_rnn_jit_and_grad(rng):
     assert g.wx.shape == params.wx.shape
     assert np.isfinite(np.asarray(g.wh)).all()
     assert float(jnp.abs(g.wx).sum()) > 0
+
+
+def test_gru_scan_custom_vjp_matches_autodiff(rng):
+    """gru_scan's hand-written backward == XLA autodiff of the same scan.
+
+    The custom VJP restructures the weight gradient into one deep matmul
+    (models/rnn.py:gru_scan); it must stay numerically equivalent.
+    """
+    from vectorquantizedcpc_tpu.models.rnn import gru_scan, gru_step
+
+    T, B, H, D = 37, 4, 16, 8
+    params = gru_init(jax.random.key(0), D, H)
+    xproj = jnp.asarray(rng.normal(size=(T, B, 3 * H)).astype(np.float32))
+    h0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+
+    def ref_scan(wh, bh, xproj, h0):
+        p = params.replace(wh=wh, bh=bh)
+        _, hs = jax.lax.scan(
+            lambda h, xp: (gru_step(p, h, xp),) * 2, h0, xproj
+        )
+        return hs
+
+    out_ref = ref_scan(params.wh, params.bh, xproj, h0)
+    out_new = gru_scan(params.wh, params.bh, xproj, h0)
+    np.testing.assert_allclose(out_new, out_ref, rtol=1e-6, atol=1e-6)
+
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(ref_scan(*a) * w), argnums=(0, 1, 2, 3)
+    )(params.wh, params.bh, xproj, h0)
+    g_new = jax.grad(
+        lambda *a: jnp.sum(gru_scan(*a) * w), argnums=(0, 1, 2, 3)
+    )(params.wh, params.bh, xproj, h0)
+    for a, b in zip(g_ref, g_new):
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-6)

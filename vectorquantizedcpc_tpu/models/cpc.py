@@ -118,19 +118,41 @@ def cpc_apply_with_indices(
         same_t = seq_index == jnp.arange(length)
         seq_index = jnp.where(same_utt & same_t, (seq_index + 1) % length, seq_index)
 
-    k_idx = jnp.arange(k_steps)[:, None, None, None, None]
-    spk_idx = jnp.arange(s)[None, :, None, None, None]
-    utt_idx = utt_index[:, None, :, :, None]
-    # Advanced-indexing gather (XLA gather op): (K, S, U, Neg, L, Z).
-    z_negatives = z_shift[k_idx, spk_idx, utt_idx, seq_index]
+    # Two-stage one-hot MXU gather. XLA's vector gather runs at ~10-20 GB/s
+    # on TPU (xprof: it alone was 4.2 ms/step at reference shape);
+    # selection-by-0/1-matmul runs at MXU/HBM speed. It is BIT-exact
+    # (single nonzero per row; tests/test_cpc.py): natively for bf16, and
+    # via precision="float32" (exact 3xbf16 operand split) for f32. Its
+    # gradient is an einsum (MXU) instead of a scatter-add.
+    prec = "float32" if z.dtype != jnp.bfloat16 else None
+    onehot_u = (utt_index[..., None] == jnp.arange(u)).astype(z.dtype)
+    z_utt = jnp.einsum(
+        "kunv,ksvmz->ksunmz",
+        onehot_u,
+        z_shift,
+        precision=prec,
+        preferred_element_type=z.dtype,
+    )  # (K, S, U, Neg, L, Z)
+    onehot_t = (seq_index[..., None] == jnp.arange(length)).astype(z.dtype)
+    z_negatives = jnp.einsum(
+        "ksunlm,ksunmz->ksunlz",
+        onehot_t,
+        z_utt,
+        precision=prec,
+        preferred_element_type=z.dtype,
+    )
 
     # ---- Similarities and InfoNCE. ---------------------------------------
-    zs = jnp.concatenate(
-        [z_shift[:, :, :, None, :, :], z_negatives], axis=3
-    )  # (K, S, U, 1+Neg, L, Z)
-    f = jnp.sum(
-        zs * wc[:, :, :, None, :, :], axis=-1
-    ) / math.sqrt(z_dim)  # (K, S, U, 1+Neg, L)
+    # Score positives/negatives separately and concatenate the SCORES: a
+    # (K, S, U, 1+Neg, L, Z) value concat would move ~56 MB per direction
+    # (its transpose is a split — xprof: 1.8 ms/step at reference shape).
+    f_pos = jnp.sum(z_shift * wc, axis=-1)  # (K, S, U, L)
+    f_neg = jnp.sum(
+        z_negatives * wc[:, :, :, None, :, :], axis=-1
+    )  # (K, S, U, Neg, L)
+    f = jnp.concatenate(
+        [f_pos[:, :, :, None, :], f_neg], axis=3
+    ) / math.sqrt(z_dim)
     f = f.reshape(k_steps, s * u, 1 + n_neg, length)
 
     # Positive is always class 0 (ordering of the concat above).

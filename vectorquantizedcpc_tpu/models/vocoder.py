@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..configs import ConfVocoderNetwork
-from .rnn import GRUParams, bigru_apply, gru_init, gru_step
+from .rnn import GRUParams, bigru_apply, gru_init, gru_scan, gru_step
 
 
 @struct.dataclass
@@ -159,12 +159,11 @@ def vocoder_forward(
     xproj = jnp.swapaxes(xproj, 0, 1)  # (T, B, 3H)
 
     h0 = jnp.zeros((x_mulaw.shape[0], gru.wh.shape[0]), compute_dtype)
-
-    def step(h, xp_t):
-        h = gru_step(gru, h, xp_t)
-        return h, h
-
-    _, hs = jax.lax.scan(step, h0, xproj, unroll=8)
+    # Custom-VJP scan: the 5,120-step backward is 3.4x faster than XLA's
+    # scan autodiff at this shape (models/rnn.py:gru_scan).
+    hs = gru_scan(
+        gru.wh.astype(compute_dtype), gru.bh.astype(compute_dtype), xproj, h0
+    )
     hs = jnp.swapaxes(hs, 0, 1)  # (B, T, H)
 
     hidden = jax.nn.relu(hs @ params.fc1_w.astype(compute_dtype) + params.fc1_b)

@@ -106,6 +106,61 @@ def save_checkpoint(checkpoint_dir: Union[str, Path], step: int, tree: Any) -> P
     return path
 
 
+class AsyncCheckpointer:
+    """Overlap checkpoint D2H + serialization + disk write with training.
+
+    :meth:`save` dispatches an on-device copy of the tree (async, ~HBM
+    bandwidth) and returns immediately; a writer thread then fetches and
+    writes while the main thread keeps dispatching train steps (SURVEY.md
+    §5.3 "async checkpointing"). The copy is essential, not an
+    optimization: the jitted train steps DONATE their state buffers, so a
+    writer still holding the live tree would read deleted arrays — the
+    copy is enqueued before the next donation in program order, so it
+    always snapshots consistent values. At most one write is in flight —
+    a new save first joins the previous one, bounding host memory at ~one
+    checkpoint. Writer errors surface at the next save/wait call instead
+    of being swallowed.
+    """
+
+    def __init__(self) -> None:
+        self._thread: Optional["threading.Thread"] = None
+        self._error: Optional[BaseException] = None
+        self._last_path: Optional[Path] = None
+
+    def save(self, checkpoint_dir: Union[str, Path], step: int, tree: Any) -> None:
+        import threading
+
+        import jax.numpy as jnp
+
+        self.wait()
+        snapshot = jax.tree.map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, tree
+        )
+
+        def write() -> None:
+            try:
+                self._last_path = save_checkpoint(
+                    checkpoint_dir, step, snapshot
+                )
+            except BaseException as e:  # surfaced on the next save/wait
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=write, name=f"ckpt-writer-{step}", daemon=True
+        )
+        self._thread.start()
+
+    def wait(self) -> Optional[Path]:
+        """Block until the in-flight write (if any) lands; return its path."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+        return self._last_path
+
+
 def restore_checkpoint(path: Union[str, Path], template: Any) -> Any:
     """Restore into the structure/dtypes of ``template`` (same pytree shape)."""
     with open(path, "rb") as f:

@@ -36,7 +36,13 @@ from ..data.preprocess import preprocess_corpus
 from ..models.cpc import CPCParams, cpc_apply, cpc_init
 from ..models.encoder import EncoderParams, encoder_forward, encoder_init
 from ..models.vq import VQEMAState
-from .checkpoint import bulk_device_get, restore_checkpoint, save_checkpoint
+from .checkpoint import (
+    AsyncCheckpointer,
+    bulk_device_get,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from .preemption import install_preemption_handler, preemption_requested
 from .schedule import WarmupSchedule
 
 
@@ -351,6 +357,8 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
     pending_metrics = []  # device-side metric trees; fetched only at log time
     global_step = 0
     t0 = time.time()
+    ckpt_writer = AsyncCheckpointer()
+    install_preemption_handler()
     # Optional device trace of a few post-compile epochs (SURVEY.md §5.1).
     profile_dir = conf.runtime.profile_dir
     profiling = False
@@ -403,10 +411,19 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
             pending_metrics = pending_metrics[-tc.log_interval :]
 
         if epoch % tc.checkpoint_interval == 0 and epoch != start_epoch:
-            path = save_checkpoint(checkpoint_dir, epoch, state)
-            print(f"Saved checkpoint: {path.name}")
+            # Async: D2H + serialization + write overlap the next epochs.
+            ckpt_writer.save(checkpoint_dir, epoch, state)
+            print(f"Saving checkpoint (async): model.ckpt-{epoch}")
+
+        if preemption_requested():
+            ckpt_writer.wait()
+            final = save_checkpoint(checkpoint_dir, epoch, state)
+            print(f"Preempted: saved {final.name}; resume with resume="
+                  f"{final} (or the same command + auto-resume).")
+            break
 
         if max_steps is not None and global_step >= max_steps:
             break
 
+    ckpt_writer.wait()
     return state

@@ -42,7 +42,13 @@ from ..models.vocoder import (
     vocoder_init,
 )
 from ..models.vq import VQEMAState
-from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from .checkpoint import (
+    AsyncCheckpointer,
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from .preemption import install_preemption_handler, preemption_requested
 from .schedule import MultiStepSchedule
 
 
@@ -257,6 +263,9 @@ def train_vocoder(
     last_ckpt_time = time.time()
     t_log = time.time()
     losses = []
+    ckpt_writer = AsyncCheckpointer()
+    install_preemption_handler()
+    preempted = False
 
     for epoch in range(start_epoch, tv.trainer.max_epochs + 1):
         loader.set_epoch(epoch)
@@ -281,13 +290,23 @@ def train_vocoder(
                 losses = []
 
             if (time.time() - last_ckpt_time) / 60.0 >= checkpoint_minutes:
-                save_checkpoint(ckpt_dir, global_step, state)
+                # Async: the write overlaps subsequent train steps.
+                ckpt_writer.save(ckpt_dir, global_step, state)
                 last_ckpt_time = time.time()
+
+            if preemption_requested():
+                preempted = True
+                break
 
             if max_steps is not None and global_step >= max_steps:
                 break
 
         state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
+
+        if preempted:
+            print(f"Preempted: saving model.ckpt-{global_step}; rerun the "
+                  "same command to auto-resume.")
+            break
 
         if epoch % tv.trainer.val_interval_epoch == 0:
             validate(
@@ -298,5 +317,6 @@ def train_vocoder(
         if max_steps is not None and global_step >= max_steps:
             break
 
+    ckpt_writer.wait()
     save_checkpoint(ckpt_dir, global_step, state)
     return state
