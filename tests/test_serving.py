@@ -156,11 +156,12 @@ def test_continuous_batcher_sharded_matches_single_shot(setup, rng):
 
 
 def test_batcher_rejects_oversized(setup):
+    """Over-length requests fail at submit(), before anything is in flight
+    (rejecting mid-drain would lose other streams' results)."""
     params, net = setup
     server = ContinuousBatcher(
         params, net, slots=1, segment_frames=4, max_frames=8,
         greedy=True, interpret=True,
     )
-    server.submit(np.zeros(32, np.int32), 0)
     with pytest.raises(ValueError, match="max_frames"):
-        server.step()
+        server.submit(np.zeros(32, np.int32), 0)

@@ -16,6 +16,7 @@ in-process copy engine gives the same overlap without the fork hazard.
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 import sys
 import threading
@@ -33,7 +34,11 @@ _TRIED = False
 def _build_and_load() -> Optional[ctypes.CDLL]:
     so = _SRC.parent / f"_clip_sampler_{sys.implementation.cache_tag}.so"
     if not so.exists() or so.stat().st_mtime < _SRC.stat().st_mtime:
-        tmp = so.with_suffix(".so.tmp")
+        # Per-process temp name: two processes building concurrently must
+        # not interleave compiler output into one file before the atomic
+        # rename (a truncated .so would load or replace cleanly and the
+        # mtime staleness check would never retrigger).
+        tmp = so.with_suffix(f".so.tmp.{os.getpid()}")
         cmd = [
             "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
             str(_SRC), "-o", str(tmp), "-lpthread",

@@ -23,6 +23,7 @@ quality can be tracked hermetically:
 
 from __future__ import annotations
 
+import functools
 import itertools
 import json
 from pathlib import Path
@@ -144,6 +145,22 @@ def _dtw_wavefront(costs, len_a, len_b):
     return ans / jnp.maximum(ans_l, 1)
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_dtw(metric: str):
+    # Module-level per-metric cache: every same-shape chunk of a pairwise
+    # sweep reuses ONE compilation (a fresh jit wrapper per call would
+    # retrace+recompile the identical program once per chunk and dominate
+    # ABX wall time).
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(
+        lambda a, b, la, lb: _dtw_wavefront(
+            _frame_costs(a, b, metric).astype(jnp.float32), la, lb
+        )
+    )
+
+
 def batched_dtw(
     feats_a,
     feats_b,
@@ -156,15 +173,7 @@ def batched_dtw(
     feats_a: (P, N, D), feats_b: (P, M, D); len_*: (P,) valid lengths.
     Returns np.ndarray (P,) of path-length-normalized DTW costs.
     """
-    import jax
-    import jax.numpy as jnp
-
-    fn = jax.jit(
-        lambda a, b, la, lb: _dtw_wavefront(
-            _frame_costs(a, b, metric).astype(jnp.float32), la, lb
-        )
-    )
-    return np.asarray(fn(feats_a, feats_b, len_a, len_b))
+    return np.asarray(_jitted_dtw(metric)(feats_a, feats_b, len_a, len_b))
 
 
 def pairwise_dtw(

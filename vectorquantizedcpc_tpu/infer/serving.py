@@ -223,10 +223,23 @@ class ContinuousBatcher:
     # ------------------------------------------------------------------ API
 
     def submit(self, z_indices: np.ndarray, speaker: int) -> int:
-        """Enqueue an utterance (encoder code sequence + target speaker)."""
+        """Enqueue an utterance (encoder code sequence + target speaker).
+
+        Over-length requests are rejected HERE, at enqueue time — raising
+        mid-drain would abort the step loop with other streams in flight
+        and lose their results.
+        """
+        z = np.asarray(z_indices)
+        total_frames = 2 * z.shape[0]  # x2 nearest upsample of codes
+        capacity = self._max_frames - self._segment_frames
+        if total_frames > capacity:
+            raise ValueError(
+                f"utterance of {total_frames} frames exceeds max_frames="
+                f"{capacity}"
+            )
         rid = self._next_rid
         self._next_rid += 1
-        self._queue.append((rid, np.asarray(z_indices), int(speaker)))
+        self._queue.append((rid, z, int(speaker)))
         return rid
 
     def step(self) -> List[int]:
@@ -326,12 +339,7 @@ class ContinuousBatcher:
             if slot.rid is not None or not self._queue:
                 continue
             rid, z, speaker = self._queue.popleft()
-            total_frames = 2 * z.shape[0]  # x2 nearest upsample of codes
-            if total_frames > self._max_frames - self._segment_frames:
-                raise ValueError(
-                    f"utterance of {total_frames} frames exceeds max_frames="
-                    f"{self._max_frames - self._segment_frames}"
-                )
+            total_frames = 2 * z.shape[0]  # validated in submit()
             cond = self._cond_fn(z.shape[0])(
                 jnp.asarray(z)[None], jnp.asarray([speaker])
             )

@@ -146,9 +146,18 @@ void cs_close(CsStore* s) {
   delete s;
 }
 
-int64_t cs_rows(CsStore* s, int32_t i) { return s->files[i].rows; }
-int64_t cs_cols(CsStore* s, int32_t i) { return s->files[i].cols; }
-int32_t cs_esize(CsStore* s, int32_t i) { return s->files[i].esize; }
+static bool cs_valid(CsStore* s, int32_t i) {
+  return s && i >= 0 && i < static_cast<int32_t>(s->files.size());
+}
+int64_t cs_rows(CsStore* s, int32_t i) {
+  return cs_valid(s, i) ? s->files[i].rows : -1;
+}
+int64_t cs_cols(CsStore* s, int32_t i) {
+  return cs_valid(s, i) ? s->files[i].cols : -1;
+}
+int32_t cs_esize(CsStore* s, int32_t i) {
+  return cs_valid(s, i) ? s->files[i].esize : -1;
+}
 
 // Copy `count` windows [start, start+clip) over the time axis into `out`,
 // laid out (count, rows, clip) with the files' element size. All referenced
@@ -158,12 +167,18 @@ int32_t cs_sample(CsStore* s, const int32_t* ids, const int64_t* starts,
                   int32_t count, int64_t clip, uint8_t* out,
                   int32_t n_threads) {
   if (count <= 0) return 0;
+  const int32_t n_files = static_cast<int32_t>(s->files.size());
+
+  // Bounds-check up front (cheap; keeps the copy loop branch-free). File
+  // ids are validated BEFORE any dereference so the exported C ABI is safe
+  // against bad indices, not just the Python wrapper's own calls.
+  for (int32_t i = 0; i < count; ++i) {
+    if (ids[i] < 0 || ids[i] >= n_files) return i + 1;
+  }
   const File& f0 = s->files[ids[0]];
   const int64_t rows = f0.rows;
   const int32_t es = f0.esize;
   const size_t item_bytes = static_cast<size_t>(rows) * clip * es;
-
-  // Bounds-check up front (cheap; keeps the copy loop branch-free).
   for (int32_t i = 0; i < count; ++i) {
     const File& f = s->files[ids[i]];
     if (starts[i] < 0 || starts[i] + clip > f.cols || f.rows != rows ||
