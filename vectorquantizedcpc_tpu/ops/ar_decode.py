@@ -20,9 +20,17 @@ Here the ENTIRE decode is one `pallas_call`:
   Hidden state and the next-step embedding rows stay in VMEM scratch across
   the whole utterance (the "HBM/VMEM-resident recurrent state" of
   BASELINE.md).
-- ``precision="int8"`` switches the three matmuls to weight-only INT8:
-  per-output-channel weight scales (ops/quant.py) with dynamic per-row
-  activation quantization, int8 x int8 -> int32 on the MXU.
+- ``precision="int8"`` switches the recurrent matmul, the FC1 head and the
+  embedding-row gather to weight-only INT8 with STATIC activation scales:
+  the GRU hidden state is algebraically bounded in (-1, 1) (h is a convex
+  combination of tanh outputs starting from h0 = 0), so quantizing the
+  activation is one fused round(x * 127) with NO per-row abs-max reduction,
+  and the 1/127 folds into the precomputed per-channel weight scale. The
+  one-hot embedding matmul runs int8 x int8 -> int32 (exact row selection);
+  FC2's input (post-ReLU) is unbounded so it stays bf16 (256 x 256 — noise).
+  Net effect: 2x MXU throughput on ~85% of the per-step MACs and half the
+  VMEM weight residency, with strictly less VPU work than round 1's
+  dynamic-quant scheme (which benchmarked SLOWER than bf16).
 
 Deterministic greedy mode (argmax) exists for parity tests against the
 lax.scan reference implementation (models/vocoder.py:vocoder_generate).
@@ -43,15 +51,38 @@ from .quant import quantize_int8
 
 
 def _mm(x_f32, w_ref, scale_ref, use_int8: bool):
-    """(B, in) f32 @ weight ref -> (B, out) f32, bf16 or weight-only int8."""
+    """(B, in) f32 @ weight ref -> (B, out) f32, bf16 or weight-only int8.
+
+    int8 requires x in [-1, 1] (the GRU hidden / tanh-bounded activations):
+    the static 127x activation quant is one fused round+cast, and the
+    activation dequant is pre-folded into ``scale_ref`` (= w_scale / 127),
+    so the only extra VPU work vs bf16 is the round and one broadcast
+    multiply on the (small) output.
+    """
     if use_int8:
-        absmax = jnp.max(jnp.abs(x_f32), axis=-1, keepdims=True) + 1e-8
-        x_i8 = jnp.round(x_f32 * (127.0 / absmax)).astype(jnp.int8)
+        x_i8 = jnp.round(x_f32 * 127.0).astype(jnp.int8)
         acc = jnp.dot(x_i8, w_ref[:], preferred_element_type=jnp.int32)
-        return acc.astype(jnp.float32) * (absmax * (1.0 / 127.0)) * scale_ref[0][None, :]
+        return acc.astype(jnp.float32) * scale_ref[0][None, :]
     return jnp.dot(
         x_f32.astype(jnp.bfloat16), w_ref[:], preferred_element_type=jnp.float32
     )
+
+
+def _embed_gather(sample_2d, embed_ref, scale_ref, batch, n_classes, use_int8):
+    """One-hot MXU row gather from the pre-projected embedding table.
+
+    Mosaic forbids unaligned dynamic row loads from VMEM, so the gather is
+    a (B, n_classes) x (n_classes, 3H) matmul. In int8 mode the one-hot is
+    int8 (row selection is exact in integer arithmetic) and the dequant is
+    one broadcast multiply by the per-channel table scale.
+    """
+    iota = jax.lax.broadcasted_iota(jnp.int32, (batch, n_classes), 1)
+    if use_int8:
+        onehot = (sample_2d == iota).astype(jnp.int8)
+        acc = jnp.dot(onehot, embed_ref[:], preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * scale_ref[0][None, :]
+    onehot = (sample_2d == iota).astype(jnp.bfloat16)
+    return jnp.dot(onehot, embed_ref[:], preferred_element_type=jnp.float32)
 
 
 def _decode_kernel(
@@ -59,14 +90,15 @@ def _decode_kernel(
     cond_ref,  # (CHUNK, B, 3H) bf16 — streamed per grid step
     h0_ref,  # (B, H) f32 — initial GRU state (resident)
     prev0_ref,  # (B, 1) int32 — previous mu-law class entering this call
-    embed_proj_ref,  # (n_classes, 3H) bf16 — resident
+    embed_proj_ref,  # (n_classes, 3H) bf16/int8 — resident
+    embed_scale_ref,  # (1, 3H) f32
     wh_ref,  # (H, 3H) bf16/int8 — resident
     wh_scale_ref,  # (1, 3H) f32
     bh_ref,  # (1, 3H) f32
     fc1_ref,  # (H, F) bf16/int8
     fc1_scale_ref,  # (1, F) f32
     fc1_b_ref,  # (1, F) f32
-    fc2_ref,  # (F, n_classes) bf16/int8
+    fc2_ref,  # (F, n_classes) bf16 (input is post-ReLU, i.e. unbounded)
     fc2_scale_ref,  # (1, n_classes) f32
     fc2_b_ref,  # (1, n_classes) f32
     out_ref,  # (CHUNK, B) int32 — written per grid step
@@ -88,12 +120,9 @@ def _decode_kernel(
         h_scratch[:] = h0_ref[:]
         # Stage the embedding-row projection of the carried-in previous
         # sample (one-hot MXU gather; same trick as the step body).
-        onehot0 = (
-            prev0_ref[:]
-            == jax.lax.broadcasted_iota(jnp.int32, (batch, n_classes), 1)
-        ).astype(jnp.bfloat16)
-        emb_scratch[:] = jnp.dot(
-            onehot0, embed_proj_ref[:], preferred_element_type=jnp.float32
+        emb_scratch[:] = _embed_gather(
+            prev0_ref[:], embed_proj_ref, embed_scale_ref,
+            batch, n_classes, use_int8,
         )
 
     if not greedy:
@@ -123,8 +152,11 @@ def _decode_kernel(
         fc_hidden = jax.nn.relu(
             _mm(h_new, fc1_ref, fc1_scale_ref, use_int8) + fc1_b_ref[0]
         )
+        # FC2's input is unbounded (post-ReLU) so the static-scale trick
+        # doesn't apply; at (F, n_classes) = (256, 256) it is ~4% of the
+        # step MACs — bf16 always.
         logits = (
-            _mm(fc_hidden, fc2_ref, fc2_scale_ref, use_int8) + fc2_b_ref[0]
+            _mm(fc_hidden, fc2_ref, fc2_scale_ref, False) + fc2_b_ref[0]
         )  # (B, n_classes)
 
         if greedy:
@@ -147,15 +179,10 @@ def _decode_kernel(
         out_ref[t, :] = sample
         h_scratch[:] = h_new
 
-        # Stage the next step's input projection: gather the sampled
-        # embedding rows as a one-hot MXU matmul (Mosaic forbids unaligned
-        # dynamic row loads from VMEM; (B, 256) x (256, 3H) is cheap).
-        onehot = (
-            sample[:, None]
-            == jax.lax.broadcasted_iota(jnp.int32, (batch, n_classes), 1)
-        ).astype(jnp.bfloat16)
-        emb_scratch[:] = jnp.dot(
-            onehot, embed_proj_ref[:], preferred_element_type=jnp.float32
+        # Stage the next step's input projection.
+        emb_scratch[:] = _embed_gather(
+            sample[:, None], embed_proj_ref, embed_scale_ref,
+            batch, n_classes, use_int8,
         )
         return 0
 
@@ -176,7 +203,8 @@ def _fused_decode_impl(
     cond_proj: jax.Array,  # (T, B, 3H) bf16
     h0: jax.Array,  # (B, H) f32
     prev0: jax.Array,  # (B, 1) int32
-    embed_proj: jax.Array,  # (n_classes, 3H) bf16
+    embed_proj: jax.Array,  # (n_classes, 3H) bf16/int8
+    embed_scale: jax.Array,  # (1, 3H) f32
     wh, wh_scale, bh,
     fc1_w, fc1_scale, fc1_b,
     fc2_w, fc2_scale, fc2_b,
@@ -199,7 +227,7 @@ def _fused_decode_impl(
                 (chunk, b, proj3h), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-        ] + [resident() for _ in range(12)],
+        ] + [resident() for _ in range(13)],
         out_specs=[
             pl.BlockSpec(
                 (chunk, b), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
@@ -234,7 +262,7 @@ def _fused_decode_impl(
         # primitives (PRNG etc.) when testing on CPU.
         interpret=pltpu.InterpretParams() if interpret else False,
     )(
-        seed, cond_proj, h0, prev0, embed_proj,
+        seed, cond_proj, h0, prev0, embed_proj, embed_scale,
         wh, wh_scale, bh, fc1_w, fc1_scale, fc1_b, fc2_w, fc2_scale, fc2_b,
     )
 
@@ -247,7 +275,8 @@ class DecodeWeights(NamedTuple):
     (project_cond_frames). Everything else feeds the kernel directly.
     """
 
-    embed_proj: jax.Array  # (n_classes, 3H) bf16
+    embed_proj: jax.Array  # (n_classes, 3H) bf16/int8
+    embed_scale: jax.Array  # (1, 3H) f32
     wx_cond: jax.Array  # (V, 3H)
     bx: jax.Array  # (3H,)
     wh: jax.Array
@@ -271,23 +300,35 @@ class DecodeState(NamedTuple):
 def prep_decode_weights(
     params: VocoderParams, conf: ConfVocoderNetwork, precision: str = "bf16"
 ) -> DecodeWeights:
-    """Hoist + (optionally) quantize everything the kernel keeps in VMEM."""
+    """Hoist + (optionally) quantize everything the kernel keeps in VMEM.
+
+    int8 mode: wh / fc1 activations are bounded in (-1, 1) (GRU algebra),
+    so their 1/127 activation-dequant constant folds into the per-channel
+    weight scale here — the kernel's dequant is ONE broadcast multiply.
+    The embedding table is quantized per-channel (exact int8 row selection
+    via the one-hot matmul). FC2 stays bf16 (unbounded post-ReLU input).
+    """
     use_int8 = precision == "int8"
     gru = params.ar_gru
     embed_dim = params.ar_embed.shape[1]
     wx_embed, wx_cond = gru.wx[:embed_dim], gru.wx[embed_dim:]
+    embed_proj_f32 = params.ar_embed @ wx_embed  # (n_classes, 3H)
 
-    def prep(w):
+    def prep(w, fold_act_scale: bool):
         if use_int8:
             q = quantize_int8(w)
-            return q.values, q.scale
+            scale = q.scale / 127.0 if fold_act_scale else q.scale
+            return q.values, scale
         return w.astype(jnp.bfloat16), jnp.ones((1, w.shape[1]), jnp.float32)
 
-    wh, wh_scale = prep(gru.wh)
-    fc1_w, fc1_scale = prep(params.fc1_w)
-    fc2_w, fc2_scale = prep(params.fc2_w)
+    embed_q, embed_scale = prep(embed_proj_f32, fold_act_scale=False)
+    wh, wh_scale = prep(gru.wh, fold_act_scale=True)
+    fc1_w, fc1_scale = prep(params.fc1_w, fold_act_scale=True)
+    fc2_w = params.fc2_w.astype(jnp.bfloat16)
+    fc2_scale = jnp.ones((1, params.fc2_w.shape[1]), jnp.float32)
     return DecodeWeights(
-        embed_proj=(params.ar_embed @ wx_embed).astype(jnp.bfloat16),
+        embed_proj=embed_q,
+        embed_scale=embed_scale,
         wx_cond=wx_cond,
         bx=gru.bx,
         wh=wh,
@@ -368,7 +409,8 @@ def fused_ar_decode_segment(
 
     seed = jax.random.randint(rng, (1,), 0, np.iinfo(np.int32).max, jnp.int32)
     samples, h_final = _fused_decode_impl(
-        cond_proj, state.h, state.prev[:, None], weights.embed_proj,
+        cond_proj, state.h, state.prev[:, None],
+        weights.embed_proj, weights.embed_scale,
         weights.wh, weights.wh_scale, weights.bh,
         weights.fc1_w, weights.fc1_scale, weights.fc1_b,
         weights.fc2_w, weights.fc2_scale, weights.fc2_b,
@@ -430,7 +472,8 @@ def fused_ar_decode(
     state0 = init_decode_state(b, conf)
     seed = jax.random.randint(rng, (1,), 0, np.iinfo(np.int32).max, jnp.int32)
     samples, _ = _fused_decode_impl(
-        cond_proj, state0.h, state0.prev[:, None], weights.embed_proj,
+        cond_proj, state0.h, state0.prev[:, None],
+        weights.embed_proj, weights.embed_scale,
         weights.wh, weights.wh_scale, weights.bh,
         weights.fc1_w, weights.fc1_scale, weights.fc1_b,
         weights.fc2_w, weights.fc2_scale, weights.fc2_b,
