@@ -85,12 +85,22 @@ def main() -> None:
         n_frames = int(seconds * sr) // net.rnnms.upsampling_t // 2
         t_decode = n_frames * 2 * net.rnnms.upsampling_t
 
-        # The AR decode is latency-bound: per-step time is nearly flat in
-        # batch (sweep_decode.py), so batch 32 is the throughput point and
-        # batch 8 the per-stream latency point. Headline = best samples/s
-        # among configs still meeting the RTF<0.05 per-stream target.
+        # The AR decode is latency-bound at small batch: per-step time is
+        # nearly flat in batch (sweep_decode.py), so batch 8 is the
+        # per-stream latency point and batch 32-128 the throughput points.
+        # INT8 weight-only quantization cannot beat bf16 at the latency
+        # point (the step is MXU-latency-bound, not throughput-bound; the
+        # matmuls it accelerates are not the critical path) — its win is at
+        # b>=64 where the MXU saturates, which is what the pairs below
+        # demonstrate. Headline = best samples/s among configs still
+        # meeting the RTF<0.05 per-stream target. All timings min-of-N
+        # (pinned methodology: the tunneled chip shows multi-10% run-to-run
+        # noise; relative claims are within-run).
         candidates = []
-        for batch, precision in ((8, "bf16"), (8, "int8"), (32, "bf16")):
+        for batch, precision in (
+            (8, "bf16"), (8, "int8"), (32, "bf16"),
+            (64, "bf16"), (64, "int8"), (128, "bf16"), (128, "int8"),
+        ):
             z = jnp.asarray(
                 rng.integers(0, net.size_i_codebook, size=(batch, n_frames))
             )
@@ -116,6 +126,14 @@ def main() -> None:
         result["value"] = round(float(best))
         result["vs_baseline"] = round(best / (sr / 0.05), 3)
         result["batch"] = 8
+        # Within-run int8-vs-bf16 speedups (>1 = int8 faster).
+        for b in (8, 64, 128):
+            bf = result.get(f"decode_bf16_b{b}_us_per_step") if b != 8 \
+                else result.get("decode_bf16_us_per_step")
+            i8 = result.get(f"decode_int8_b{b}_us_per_step") if b != 8 \
+                else result.get("decode_int8_us_per_step")
+            if bf and i8:
+                result[f"int8_speedup_b{b}"] = round(bf / i8, 3)
     except Exception:
         errors.append("decode: " + traceback.format_exc(limit=2))
 
@@ -145,13 +163,12 @@ def main() -> None:
 
         hop = net.rnnms.upsampling_t
         buckets = [25, 50, 100]
+        # segment_frames=16: finer retirement quantization wastes less
+        # decode on the short buckets (measured ~10% over 32 on this mix).
         server = ContinuousBatcher(
-            params, net, slots=16, segment_frames=32,
+            params, net, slots=32, segment_frames=16,
             max_frames=2 * max(buckets) + 32,
         )
-        for n in buckets:  # warm every compiled program on the path
-            server.submit(np.zeros(n, np.int32), 0)
-        server.run()
         reqs = [
             (
                 rng.integers(
@@ -161,14 +178,35 @@ def main() -> None:
             )
             for _ in range(48)
         ]
-        for z_, s_ in reqs:
-            server.submit(z_, s_)
-        t0 = time.time()
-        server.run()
-        dt = time.time() - t0
         valid = sum(2 * len(z_) * hop for z_, _ in reqs)
-        result["serving_samples_per_s"] = round(valid / dt)
+        # min-of-N; rep 0 warms every compiled program on the planned-drain
+        # path (per-bucket conditioning, per-chunk-size drain programs).
+        # Two boundaries, pinned methodology: "to device" (every stream's
+        # classes computed — the SAME boundary the raw decode kernel
+        # numbers use, so serving_vs_b32_kernel is apples-to-apples) and
+        # "to host" (results as numpy; additionally pays the host-link D2H,
+        # ~16 MB/s on this tunneled dev chip vs GB/s on a real TPU host).
+        best_dev, best_host = float("inf"), float("inf")
+        for rep in range(3):
+            for z_, s_ in reqs:
+                server.submit(z_, s_)
+            t0 = time.time()
+            server.run(materialize=False)
+            dt_dev = time.time() - t0
+            for z_rid in list(server._pending):
+                server.result(z_rid)
+            dt_host = time.time() - t0
+            if rep > 0:
+                best_dev = min(best_dev, dt_dev)
+                best_host = min(best_host, dt_host)
+        result["serving_samples_per_s"] = round(valid / best_dev)
+        result["serving_to_host_samples_per_s"] = round(valid / best_host)
         result["serving_streams"] = len(reqs)
+        result["serving_vs_b32_kernel"] = round(
+            valid / best_dev
+            / max(result.get("decode_bf16_b32_samples_per_s", 1), 1),
+            3,
+        )
     except Exception:
         errors.append("serving: " + traceback.format_exc(limit=2))
 
@@ -205,8 +243,12 @@ def main() -> None:
             )
             return metrics["loss"]
 
-        dt = _bench(run, n_rep=4) / n_batches
+        # min-of-N (pinned methodology, VERDICT r1 weak #5): each rep is one
+        # 50-step epoch dispatch, long enough that dispatch latency is
+        # amortized; min discards tunnel-noise outliers.
+        dt = _bench(run, n_rep=5, min_of=True) / n_batches
         result["cpc_train_steps_per_s"] = round(1.0 / dt, 1)
+        result["cpc_train_steps_per_dispatch"] = n_batches
         result["cpc_vs_p100"] = round(1.0 / dt / 15.5, 2)  # README.md:106
     except Exception:
         errors.append("cpc: " + traceback.format_exc(limit=2))

@@ -155,6 +155,45 @@ def test_continuous_batcher_sharded_matches_single_shot(setup, rng):
         np.testing.assert_array_equal(waves[rid], single)
 
 
+def test_incremental_then_drain_matches_single_shot(setup, rng):
+    """step() a few segments (incremental path), then run(): the planned
+    drain must seed in-flight slots with their carried state AND their
+    already-decoded prefix, producing the exact single-shot waves."""
+    params, net = setup
+    requests = [
+        (rng.integers(0, 16, size=(n_codes,)), int(spk))
+        for n_codes, spk in [(10, 0), (6, 2), (12, 1), (4, 3)]
+    ]
+    server = ContinuousBatcher(
+        params, net, slots=2, segment_frames=4, max_frames=64,
+        greedy=True, interpret=True,
+    )
+    rids = [server.submit(z, s) for z, s in requests]
+    server.step()  # two streams in flight, partially decoded
+    server.step()
+    waves = server.run()  # drains in-flight + still-queued
+    assert set(waves) == set(rids)
+    for rid, (z, spk) in zip(rids, requests):
+        single = np.asarray(
+            fused_ar_decode(
+                params, net, jnp.asarray(z)[None], jnp.asarray([spk]),
+                jax.random.key(0), greedy=True, interpret=True,
+            )[0]
+        )
+        np.testing.assert_array_equal(waves[rid], single)
+
+
+def test_chunk_size_decomposition():
+    from vectorquantizedcpc_tpu.infer.serving import _chunk_sizes
+
+    for n in (1, 2, 3, 7, 11, 64, 65, 200):
+        sizes = _chunk_sizes(n)
+        assert sum(sizes) == n
+        assert all(s & (s - 1) == 0 for s in sizes), sizes  # powers of two
+        assert max(sizes) <= 64
+    assert _chunk_sizes(0) == []
+
+
 def test_batcher_rejects_oversized(setup):
     """Over-length requests fail at submit(), before anything is in flight
     (rejecting mid-drain would lose other streams' results)."""

@@ -1,7 +1,7 @@
 """Continuous utterance batching for the fused AR vocoder decode.
 
 The AR decode is latency-bound: per-step kernel time is nearly flat in batch
-size (benchmarks/sweep_decode.py: 2.3 us/step at B=1 vs 2.6 us/step at B=32),
+size (benchmarks/sweep_decode.py: 2.2 us/step at B=1 vs 2.6 us/step at B=32),
 so a chip serving voice-conversion traffic should always decode a FULL batch.
 Static batching wastes that: utterances have different lengths, and the batch
 stalls until its longest member finishes. This module implements
@@ -12,41 +12,51 @@ network_vocoder.py:69-78):
 - A fixed number of decode **slots** advance together through fixed-size
   **segments** (``segment_frames`` conditioning frames = ``segment_frames *
   upsampling_t`` audio samples) using the state-carrying fused kernel
-  (ops/ar_decode.py:fused_ar_decode_segment).
-- Streams retire the moment their frames are consumed and a queued request
-  is admitted into the freed slot mid-flight — no stall on the longest
-  utterance. The AR recursion is causal, so co-resident garbage in other
-  slots never affects a stream's samples; segment chaining is bit-exact
-  with a single-shot decode (tests/test_serving.py).
-- Admission computes the stream's conditioning ONCE at frame rate — PreNet
-  biGRU + GRU-input projection (ops/ar_decode.py:project_cond_frames) — and
-  parks it in a device-resident pool (slots, max_frames, 3H); each step
-  gathers every slot's next window with a vmapped ``dynamic_slice``. No
-  padding enters the PreNet (it is bidirectional, i.e. non-causal), so
-  admission jits per distinct code length; deployments should bucket
-  lengths upstream, as infer/convert.py does.
-- **The scheduling loop never blocks on the device.** Stream lengths are
-  known at admission, so retirement is decided from host-side counters;
-  decoded mu-law classes accumulate in a device-resident output ring
-  (slots, max_samples) updated inside the jitted step, and a retiring
-  stream's row is captured as a lazy device slice, materialized only when
-  the caller asks for the wave. Steps therefore dispatch back-to-back and
-  pipeline on the device — essential over high-latency links (the tunneled
-  single-chip dev setup) and still a win on local hosts.
+  (ops/ar_decode.py:fused_ar_decode_segment). Streams retire the moment
+  their frames are consumed and a queued request takes the freed slot
+  mid-flight — no stall on the longest utterance. The AR recursion is
+  causal, so co-resident garbage in other slots never affects a stream's
+  samples; segment chaining is bit-exact with a single-shot decode
+  (tests/test_serving.py).
+
+- **Planned drain** (:meth:`run`): stream lengths are KNOWN at submission,
+  so the entire drain schedule — which request occupies which slot at which
+  segment step, where fresh state resets happen, when each stream retires —
+  is a deterministic host-side computation with zero device round-trips.
+  The drain then executes as a handful of device dispatches: (a) batched
+  per-length-bucket conditioning (PreNet biGRU + GRU input projection,
+  ops/ar_decode.py:project_cond_frames) into a staging pool, (b) a few
+  ``lax.scan`` chunks over precomputed (request-row, position, fresh)
+  tables, each inner step gathering every slot's conditioning window,
+  running the fused kernel, and scattering decoded mu-law classes into
+  per-request output rows (a windowed ``lax.scatter`` — one
+  dynamic-update-slice per slot), and (c) ONE bulk mu-law expansion +
+  device fetch at the end. Round 1 dispatched 2 programs per admission
+  plus 1 per 32-frame segment; over a high-latency (tunneled) link those
+  ~150 dispatches cost ~10 ms each and held serving to ~5% of the raw
+  kernel throughput.
+
+- :meth:`step` keeps the incremental mode for online streaming use: one
+  segment across all slots per call, admission from the queue into freed
+  slots, never blocking on the device (decoded classes accumulate in a
+  device-resident ring; retiring streams are captured as lazy slices).
+
 - **Pod-slice scale-out** (``mesh=``): the slot pool shards over the mesh
-  ``data`` axis and the segment step runs under ``shard_map`` — every chip
-  decodes its own slot shard with a fully local kernel (zero per-step
-  collectives; the AR recursion never crosses slots), multiplying
-  aggregate samples/s by the data-axis size. Sampling keys are
-  decorrelated per shard via ``axis_index`` fold-in.
+  ``data`` axis and both the incremental step and the planned drain run
+  under ``shard_map`` — every chip decodes its own slot shard with a fully
+  local kernel (zero per-step collectives; the AR recursion never crosses
+  slots), multiplying aggregate samples/s by the data-axis size. Sampling
+  keys are decorrelated per shard via ``axis_index`` fold-in. The drain's
+  per-request output buffer keeps a leading shard axis (each shard writes
+  only its own slots' rows) and is combined by one sum at the end.
 """
 
 from __future__ import annotations
 
 import time
 from collections import deque
-from dataclasses import dataclass, field
-from typing import Callable, Deque, Dict, List, Optional
+from dataclasses import dataclass
+from typing import Callable, Deque, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +73,34 @@ from ..ops.ar_decode import (
 )
 
 __all__ = ["ContinuousBatcher"]
+
+# Windowed scatter: each (row, col_start) index writes a (1, L) window —
+# i.e. a batch of dynamic-update-slices, which XLA lowers efficiently
+# (a flat per-element index formulation would not).
+_SCATTER_DNUMS = jax.lax.ScatterDimensionNumbers(
+    update_window_dims=(1,),
+    inserted_window_dims=(0,),
+    scatter_dims_to_operand_dims=(0, 1),
+)
+
+
+def _pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+def _chunk_sizes(n: int, max_chunk: int = 64) -> List[int]:
+    """Decompose n steps into descending power-of-two dispatch sizes.
+
+    Bounds the number of compiled drain programs (one per size) while
+    wasting zero idle steps (a single fixed horizon would pad short drains
+    with dead segments)."""
+    sizes = []
+    while n > 0:
+        c = min(_pow2(n + 1) // 2 if n & (n - 1) else n, max_chunk)
+        c = min(c, n)
+        sizes.append(c)
+        n -= c
+    return sizes
 
 
 @dataclass
@@ -98,14 +136,16 @@ class ContinuousBatcher:
     ):
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
+        self._mesh = mesh
+        self._n_shards = 1
         if mesh is not None:
             from ..parallel.mesh import DATA_AXIS
 
-            n_data = mesh.shape[DATA_AXIS]
-            if slots % n_data != 0:
+            self._n_shards = mesh.shape[DATA_AXIS]
+            if slots % self._n_shards != 0:
                 raise ValueError(
                     f"slots={slots} must divide over the mesh data axis "
-                    f"({n_data})"
+                    f"({self._n_shards})"
                 )
         self._params = params
         self._conf = conf
@@ -114,8 +154,12 @@ class ContinuousBatcher:
         self._max_frames = max_frames + segment_frames  # slack for overrun
         self._hop = conf.rnnms.upsampling_t
         self._n_classes = 2 ** conf.rnnms.bits_mu_law
+        self._precision = precision
+        self._greedy = greedy
+        self._interpret = interpret
         self._weights = prep_decode_weights(params, conf, precision)
         proj3h = self._weights.embed_proj.shape[1]
+        self._proj3h = proj3h
 
         self._pool = jnp.zeros(
             (slots, self._max_frames, proj3h), jnp.bfloat16
@@ -134,6 +178,8 @@ class ContinuousBatcher:
         self._samples_out = 0
         self._dispatch_wall = 0.0
         self._cond_cache: Dict[int, Callable] = {}
+        self._group_cond_cache: Dict[Tuple[int, int], Callable] = {}
+        self._drain_cache: Dict[Tuple[int, int], Callable] = {}
 
         sf = segment_frames
         hop = self._hop
@@ -197,6 +243,17 @@ class ContinuousBatcher:
             self._state = jax.device_put(self._state, slot_sh)
 
         n_mid = self._n_classes // 2
+        self._n_mid = n_mid
+        # Device-computed mu-law expansion table: host-side `table[classes]`
+        # is BIT-IDENTICAL to running mulaw_decode on device (the decode is
+        # an elementwise function of the integer class), while letting the
+        # drain fetch 1-byte classes instead of 4-byte waves — the D2H link
+        # is the dominant cost of a drain on tunneled/remote chips.
+        self._mulaw_table = np.asarray(
+            jax.device_get(self._decode_wave(jnp.arange(self._n_classes))),
+            np.float32,
+        )
+        self._class_dtype = jnp.uint8 if self._n_classes <= 256 else jnp.uint16
 
         def admit_fn(pool, state, cond_row, slot_idx):
             # Traced slot index + fixed-shape (max_frames, 3H) row -> ONE
@@ -245,9 +302,10 @@ class ContinuousBatcher:
     def step(self) -> List[int]:
         """Admit, dispatch one segment across all slots, retire finished.
 
-        Returns the rids that finished this step. Purely host-side
-        bookkeeping plus ASYNC device dispatches — never blocks on the
-        device. Fetch finished waves with :meth:`result` / :meth:`run`.
+        Incremental/streaming mode. Returns the rids that finished this
+        step. Purely host-side bookkeeping plus ASYNC device dispatches —
+        never blocks on the device. Fetch finished waves with
+        :meth:`result` / :meth:`run`.
         """
         self._admit()
         if not any(s.rid is not None for s in self._slot_meta):
@@ -288,18 +346,37 @@ class ContinuousBatcher:
     def result(self, rid: int) -> np.ndarray:
         """Materialize a finished stream's waveform (blocks on the device)."""
         if rid in self._pending:
-            wave, _ = self._pending.pop(rid)
-            self._results[rid] = np.asarray(
-                jax.device_get(wave), np.float32
-            )
+            entry = self._pending.pop(rid)
+            if isinstance(entry, tuple) and entry[0] == "bucket":
+                # Planned-drain result: one fetch per shared length bucket
+                # (cached), host-side mu-law table expansion (bit-identical
+                # to the device decode).
+                _tag, bucket, j = entry
+                if bucket["np"] is None:
+                    bucket["np"] = np.asarray(jax.device_get(bucket["dev"]))
+                self._results[rid] = self._mulaw_table[bucket["np"][j]]
+            else:
+                wave, _ = entry  # incremental step() path: device f32 slice
+                self._results[rid] = np.asarray(
+                    jax.device_get(wave), np.float32
+                )
         return self._results[rid]
 
-    def run(self) -> Dict[int, np.ndarray]:
-        """Drain the queue and all in-flight streams."""
-        while self._queue or any(
-            s.rid is not None for s in self._slot_meta
-        ):
-            self.step()
+    def run(self, materialize: bool = True) -> Dict[int, np.ndarray]:
+        """Drain the queue and all in-flight streams (planned drain).
+
+        ``materialize=False`` completes the drain TO DEVICE (blocks until
+        every stream's classes are computed) but defers the D2H transfer:
+        finished waves stay as compacted device buffers, fetched lazily by
+        :meth:`result`. This separates decode throughput from host-link
+        bandwidth — the raw-kernel decode benchmarks are measured the same
+        way — and lets a caller overlap result download with the next
+        drain.
+        """
+        if self._queue or any(s.rid is not None for s in self._slot_meta):
+            self._drain_planned()
+        if not materialize:
+            return dict(self._results)
         for rid in list(self._pending):
             self.result(rid)
         return dict(self._results)
@@ -311,6 +388,279 @@ class ContinuousBatcher:
             "dispatch_wall_s": self._dispatch_wall,
             "steps": float(self._step_count),
         }
+
+    # ------------------------------------------------- planned drain (run)
+
+    def _drain_planned(self) -> None:
+        import os
+
+        debug = bool(os.environ.get("VQCPC_SERVING_DEBUG"))
+
+        def _mark(label, *blockers):
+            if debug:
+                jax.block_until_ready(blockers)
+                print(f"[drain] {label}: {time.time() - t_start:.3f}s",
+                      flush=True)
+
+        t_start = time.time()
+        s_count = self._slots
+        sf = self._segment_frames
+        hop = self._hop
+
+        inflight = [
+            (i, m.rid, m.pos_frames, m.total_frames)
+            for i, m in enumerate(self._slot_meta)
+            if m.rid is not None
+        ]
+        new_reqs = list(self._queue)
+        self._queue.clear()
+
+        # ---- Staging pool: in-flight slot rows (from the incremental
+        # pool) + batched per-length-bucket conditioning of new requests.
+        parts: List[jax.Array] = []
+        base = 0
+        if inflight:
+            parts.append(self._pool)  # rows 0..slots-1 == slot index
+            base = s_count
+        rid_row: Dict[int, int] = {}
+        rid_total: Dict[int, int] = {}
+        groups: Dict[int, list] = {}
+        for rid, z, spk in new_reqs:
+            groups.setdefault(z.shape[0], []).append((rid, z, spk))
+        row = base
+        for n_codes in sorted(groups):
+            items = groups[n_codes]
+            g_pad = _pow2(len(items))
+            zs = np.zeros((g_pad, n_codes), np.int32)
+            spks = np.zeros((g_pad,), np.int32)
+            for j, (rid, z, spk) in enumerate(items):
+                zs[j], spks[j] = z, spk
+                rid_row[rid] = row + j
+                rid_total[rid] = 2 * n_codes
+            parts.append(
+                self._group_cond(n_codes, g_pad)(
+                    jnp.asarray(zs), jnp.asarray(spks)
+                )
+            )
+            row += g_pad
+        r_s = _pow2(max(row, 1))
+        staging = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+        if staging.shape[0] < r_s:
+            staging = jnp.pad(
+                staging, ((0, r_s - staging.shape[0]), (0, 0), (0, 0))
+            )
+        _mark("cond+staging", staging)
+
+        # ---- Host-side schedule: FIFO admission into freed slots.
+        slots_live: List[Optional[list]] = [None] * s_count
+        for i, rid, pos, total in inflight:
+            slots_live[i] = [rid, i, pos, total]  # [rid, row, pos, total]
+            rid_row[rid] = i
+            rid_total[rid] = total
+        # Longest-first (LPT) admission: the drain completes when the last
+        # slot finishes, so scheduling long requests first packs the slot
+        # pool near the lower bound of ceil(total_segments / slots) steps
+        # (FIFO leaves long tails: measured 11 vs 7 steps on the bench mix).
+        # Purely an internal schedule choice — every request still returns.
+        q = deque(
+            sorted(
+                ((rid, rid_row[rid], rid_total[rid]) for rid, _z, _s in new_reqs),
+                key=lambda t: -t[2],
+            )
+        )
+        rows_t, pos_t, fresh_t = [], [], []
+        valid = 0
+        while q or any(a is not None for a in slots_live):
+            rows = np.full(s_count, -1, np.int32)
+            pos = np.zeros(s_count, np.int32)
+            fresh = np.zeros(s_count, np.bool_)
+            for i in range(s_count):
+                if slots_live[i] is None and q:
+                    rid, r, total = q.popleft()
+                    slots_live[i] = [rid, r, 0, total]
+                    fresh[i] = True
+                a = slots_live[i]
+                if a is not None:
+                    rows[i], pos[i] = a[1], a[2]
+            rows_t.append(rows)
+            pos_t.append(pos)
+            fresh_t.append(fresh)
+            for i in range(s_count):
+                a = slots_live[i]
+                if a is None:
+                    continue
+                valid += min(a[3] - a[2], sf) * hop
+                a[2] += sf
+                if a[2] >= a[3]:
+                    slots_live[i] = None
+        n_steps = len(rows_t)
+        _mark(f"schedule ({n_steps} steps)")
+
+        # ---- Output buffer (leading shard axis; each shard writes only
+        # its own slots' request rows, combined by one sum at the end).
+        c_width = self._max_frames * hop
+        out = jnp.zeros((self._n_shards, r_s, c_width), jnp.int32)
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import DATA_AXIS
+
+            out = jax.device_put(
+                out, NamedSharding(self._mesh, P(DATA_AXIS, None, None))
+            )
+        per_shard = s_count // self._n_shards
+        for i, rid, pos0, _total in inflight:
+            # Seed the already-decoded prefix so the final fetch returns
+            # the full wave (classes live in the incremental out ring).
+            out = out.at[i // per_shard, rid_row[rid], : pos0 * hop].set(
+                self._out_buf[i, : pos0 * hop]
+            )
+
+        # ---- Execute: a few scan chunks, carries donated in place.
+        h, prev = self._state.h, self._state.prev
+        offset = 0
+        for k in _chunk_sizes(n_steps):
+            rows_j = jnp.asarray(np.stack(rows_t[offset : offset + k]))
+            pos_j = jnp.asarray(np.stack(pos_t[offset : offset + k]))
+            fresh_j = jnp.asarray(np.stack(fresh_t[offset : offset + k]))
+            key = jax.random.fold_in(
+                jax.random.key(self._seed), self._step_count + offset
+            )
+            h, prev, out = self._drain_fn(k, r_s)(
+                self._weights, staging, rows_j, pos_j, fresh_j,
+                h, prev, out, key,
+            )
+            offset += k
+
+        _mark("drain chunks", out)
+        classes = out[0] if self._n_shards == 1 else out.sum(axis=0)
+
+        # ---- Compacted lazy results: group requests by length, gather
+        # each group's rows into a 1-byte class buffer (~valid bytes only,
+        # ~10x less D2H than the full f32 wave buffer). The buffers stay
+        # on device; result() fetches a request's bucket once and expands
+        # through the device-exact mu-law table.
+        by_len: Dict[int, List[int]] = {}
+        for rid in rid_row:
+            by_len.setdefault(rid_total[rid], []).append(rid)
+        for total, rids in sorted(by_len.items()):
+            rows = jnp.asarray([rid_row[r] for r in rids], jnp.int32)
+            bucket = {
+                "dev": classes[rows, : total * hop].astype(self._class_dtype),
+                "np": None,
+            }
+            for j, rid in enumerate(rids):
+                self._pending[rid] = ("bucket", bucket, j)
+        # "Drain complete" = every class computed on device (the raw-kernel
+        # benchmarks use the same boundary); D2H happens in result().
+        jax.block_until_ready([e[1]["dev"] for e in self._pending.values()
+                               if isinstance(e, tuple) and e[0] == "bucket"])
+        _mark("to-device")
+
+        self._step_count += n_steps
+        self._samples_out += valid
+        self._dispatch_wall += time.time() - t_start
+        self._slot_meta = [_Slot() for _ in range(s_count)]
+        # The drain consumed the donated state buffers; reinstall a fresh
+        # (correctly sharded) state for subsequent incremental use.
+        self._state = DecodeState(h=h, prev=prev)
+
+    def _group_cond(self, n_codes: int, g: int) -> Callable:
+        """Batched per-length conditioning -> padded staging rows (G, MF, 3H)."""
+        key = (n_codes, g)
+        if key not in self._group_cond_cache:
+
+            def cond(zs, spks):  # (G, n_codes), (G,)
+                c = project_cond_frames(
+                    self._weights,
+                    build_conditioning_frames(
+                        self._params, self._conf, zs, spks
+                    ),
+                )  # (G, 2*n_codes, 3H)
+                # Pad AFTER the (non-causal) biGRU, to the pool row shape.
+                return jnp.pad(
+                    c, ((0, 0), (0, self._max_frames - c.shape[1]), (0, 0))
+                ).astype(jnp.bfloat16)
+
+            self._group_cond_cache[key] = jax.jit(cond)
+        return self._group_cond_cache[key]
+
+    def _drain_fn(self, k: int, r_s: int) -> Callable:
+        """Compiled K-step drain chunk, cached per (K, staging rows)."""
+        cache_key = (k, r_s)
+        if cache_key in self._drain_cache:
+            return self._drain_cache[cache_key]
+
+        sf = self._segment_frames
+        hop = self._hop
+        proj3h = self._proj3h
+        conf = self._conf
+        greedy, precision, interpret = (
+            self._greedy, self._precision, self._interpret,
+        )
+        n_mid = self._n_mid
+
+        def chunk(weights, staging, rows_t, pos_t, fresh_t, h, prev, out, key):
+            def body(carry, inp):
+                h, prev, out = carry
+                rows, pos, fresh, kk = inp
+                h = jnp.where(fresh[:, None], 0.0, h)
+                prev = jnp.where(fresh, n_mid, prev)
+                safe_rows = jnp.clip(rows, 0, r_s - 1)
+                seg = jax.vmap(
+                    lambda r, p: jax.lax.dynamic_slice(
+                        staging, (r, p, 0), (1, sf, proj3h)
+                    )[0]
+                )(safe_rows, pos)
+                mulaw_seg, new_state = fused_ar_decode_segment(
+                    weights, conf, seg, DecodeState(h=h, prev=prev), kk,
+                    greedy=greedy, precision=precision, interpret=interpret,
+                )
+                # Idle slots carry row -1 -> out-of-bounds -> dropped.
+                idx = jnp.stack([rows, pos * hop], axis=1)
+                out0 = jax.lax.scatter(
+                    out[0], idx, mulaw_seg, _SCATTER_DNUMS,
+                    indices_are_sorted=False, unique_indices=False,
+                    mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+                )
+                return (new_state.h, new_state.prev, out0[None]), None
+
+            keys = jax.random.split(key, k)
+            (h, prev, out), _ = jax.lax.scan(
+                body, (h, prev, out), (rows_t, pos_t, fresh_t, keys)
+            )
+            return h, prev, out
+
+        if self._mesh is None:
+            fn = jax.jit(chunk, donate_argnums=(5, 6, 7))
+        else:
+            from jax.sharding import PartitionSpec as P
+            from ..parallel.mesh import DATA_AXIS
+
+            dp, rep = P(DATA_AXIS), P()
+
+            def shard_chunk(weights, staging, rows_t, pos_t, fresh_t,
+                            h, prev, out, key):
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index(DATA_AXIS)
+                )
+                return chunk(weights, staging, rows_t, pos_t, fresh_t,
+                             h, prev, out, key)
+
+            mapped = jax.shard_map(
+                shard_chunk,
+                mesh=self._mesh,
+                in_specs=(
+                    rep, rep,
+                    P(None, DATA_AXIS), P(None, DATA_AXIS),
+                    P(None, DATA_AXIS),
+                    dp, dp, P(DATA_AXIS, None, None), rep,
+                ),
+                out_specs=(dp, dp, P(DATA_AXIS, None, None)),
+                check_vma=False,
+            )
+            fn = jax.jit(mapped, donate_argnums=(5, 6, 7))
+        self._drain_cache[cache_key] = fn
+        return fn
 
     # ------------------------------------------------------------ internals
 
