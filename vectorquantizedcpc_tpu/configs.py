@@ -153,6 +153,10 @@ runtime:
     use_pallas: true
     profile_dir: null
     platform: null
+    num_cpu_devices: null
+    coordinator_address: null
+    num_processes: null
+    process_id: null
 """
 
 
@@ -351,6 +355,15 @@ class ConfRuntime:
     # environment the JAX_PLATFORMS env var is ignored by the backend
     # plugin, so this goes through jax.config (see apply_runtime()).
     platform: Optional[str] = None
+    # Virtual CPU device count (testing/sharding dry-runs without TPUs).
+    num_cpu_devices: Optional[int] = None
+    # Multi-host bring-up (jax.distributed; SURVEY.md §5.8). On TPU pods
+    # leave all three null — the runtime auto-detects. For explicit
+    # clusters (or the 2-process CPU test) set all three; every CLI calls
+    # initialize_distributed via apply_runtime() before first device use.
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
 
 
 @dataclass
@@ -541,11 +554,31 @@ def conf_default_tree() -> Dict[str, Any]:
 
 
 def apply_runtime(conf: "ConfGlobal") -> None:
-    """Apply runtime.* settings that must land before JAX backend init."""
-    if conf.runtime.platform:
+    """Apply runtime.* settings that must land before JAX backend init.
+
+    Order matters: platform / virtual-device-count / CPU collectives are
+    jax.config knobs that only take effect pre-backend-init, and
+    jax.distributed.initialize must run before the first device query.
+    Every CLI calls this right after load_conf().
+    """
+    rt = conf.runtime
+    if rt.platform:
         import jax
 
-        jax.config.update("jax_platforms", conf.runtime.platform)
+        jax.config.update("jax_platforms", rt.platform)
+    if rt.num_cpu_devices:
+        import jax
+
+        jax.config.update("jax_num_cpu_devices", rt.num_cpu_devices)
+    if rt.coordinator_address or (rt.num_processes or 0) > 1:
+        from .parallel.mesh import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=rt.coordinator_address,
+            num_processes=rt.num_processes,
+            process_id=rt.process_id,
+            platform=rt.platform,
+        )
 
 
 def load_conf(argv: Optional[List[str]] = None) -> ConfGlobal:

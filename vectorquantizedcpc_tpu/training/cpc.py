@@ -321,14 +321,13 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
 
     steps_per_epoch = len(loader)
 
-    mesh = None
-    if conf.runtime.mesh_data * conf.runtime.mesh_model > 1:
-        from ..parallel.mesh import make_mesh
+    from ..parallel.mesh import mesh_from_conf
+
+    mesh = mesh_from_conf(conf.runtime)
+    if mesh is not None:
         from ..parallel.sharding import batch_sharding
 
-        mesh = make_mesh(conf.runtime.mesh_data, conf.runtime.mesh_model)
         epoch_batch_sharding = batch_sharding(mesh, 5, axis=1)
-        print(f"Mesh: data={conf.runtime.mesh_data} model={conf.runtime.mesh_model}")
     else:
         epoch_batch_sharding = None
 
@@ -359,6 +358,15 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
     t0 = time.time()
     ckpt_writer = AsyncCheckpointer()
     install_preemption_handler()
+    # TensorBoard scalars (the reference has these writer calls commented
+    # out, train_cpc.py:141-148; the vocoder trainer here already logs).
+    tb_writer = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        tb_writer = SummaryWriter(str(checkpoint_dir / "tb"))
+    except Exception:
+        pass
     # Optional device trace of a few post-compile epochs (SURVEY.md §5.1).
     profile_dir = conf.runtime.profile_dir
     profiling = False
@@ -407,6 +415,15 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
                 )
             )
             print(100 * meter["accuracies"])
+            if tb_writer is not None:
+                tb_writer.add_scalar("loss/cpc", float(meter["cpc_loss"]), epoch)
+                tb_writer.add_scalar("loss/vq", float(meter["vq_loss"]), epoch)
+                tb_writer.add_scalar(
+                    "perplexity", float(meter["perplexity"]), epoch
+                )
+                for k, acc in enumerate(np.ravel(meter["accuracies"])):
+                    tb_writer.add_scalar(f"accuracy/step_{k + 1}", float(acc), epoch)
+                tb_writer.add_scalar("steps_per_sec", steps_per_sec, epoch)
         elif len(pending_metrics) > 2 * tc.log_interval:
             pending_metrics = pending_metrics[-tc.log_interval :]
 
@@ -426,4 +443,6 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
             break
 
     ckpt_writer.wait()
+    if tb_writer is not None:
+        tb_writer.close()
     return state
