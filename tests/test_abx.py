@@ -161,3 +161,79 @@ def test_abx_cli_roundtrip(tmp_path):
     payload = json.loads(out.stdout.strip().splitlines()[-1])
     assert payload["abx_error_rate"] < 0.1
     assert payload["task"] == "across"
+
+
+def test_item_file_parser(tmp_path, rng):
+    """Official bootphon .item format: header, 7 columns, onset/offset in
+    seconds -> frames at 0.02 s; categories = triphones."""
+    from vectorquantizedcpc_tpu.eval.abx import load_item_file
+
+    fdir = tmp_path / "feats"
+    fdir.mkdir()
+    # Two utterances, 50 frames x 4 dims each (= 1.0 s at 20 ms frames).
+    for stem in ("utt_a", "utt_b"):
+        np.savetxt(fdir / f"{stem}.txt", rng.normal(size=(50, 4)))
+
+    item = tmp_path / "test.item"
+    item.write_text(
+        "#file onset offset #phone prev-phone next-phone speaker\n"
+        "utt_a 0.10 0.30 ay n l s01\n"      # frames [5, 15)
+        "utt_a 0.40 0.50 eh n l s01\n"      # frames [20, 25)
+        "utt_b 0.00 0.20 ay n l s02\n"      # frames [0, 10)
+        "utt_b 0.90 1.20 eh n l s02\n"      # clipped to [45, 50)
+        "utt_b 0.50 0.52 eh n l s02\n"      # 1 frame -> skipped
+        "missing 0.0 0.5 ay n l s03\n"      # no feature file -> skipped
+    )
+    feats, cats, spks = load_item_file(str(item), str(fdir))
+    assert len(feats) == 4
+    assert [f.shape[0] for f in feats] == [10, 5, 10, 5]
+    assert cats == ["n-ay-l", "n-eh-l", "n-ay-l", "n-eh-l"]
+    assert spks == ["s01", "s01", "s02", "s02"]
+
+    with pytest.raises(ValueError, match="7 columns"):
+        bad = tmp_path / "bad.item"
+        bad.write_text("utt_a 0.1 0.2 ay n\n")
+        load_item_file(str(bad), str(fdir))
+
+
+def test_item_file_cli(tmp_path, rng):
+    """eval_abx --item-file end to end: two well-separated triphone
+    clusters across two speakers -> near-zero error."""
+    from vectorquantizedcpc_tpu.eval.abx import load_item_file  # noqa: F401
+
+    fdir = tmp_path / "feats"
+    fdir.mkdir()
+    lines = ["#file onset offset #phone prev-phone next-phone speaker"]
+    for si, spk in enumerate(("s01", "s02")):
+        for ci, tri in enumerate((("a", "x", "b"), ("a", "y", "b"))):
+            for k in range(2):
+                stem = f"{spk}_{ci}_{k}"
+                base = np.zeros((20, 4)) + 5.0 * ci
+                base[:, ci] += 2.0
+                np.savetxt(
+                    fdir / f"{stem}.txt",
+                    base + 0.05 * rng.normal(size=(20, 4)),
+                )
+                lines.append(
+                    f"{stem} 0.0 0.4 {tri[1]} {tri[0]} {tri[2]} {spk}"
+                )
+    item = tmp_path / "cli.item"
+    item.write_text("\n".join(lines) + "\n")
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "vectorquantizedcpc_tpu.cli.eval_abx",
+            "--features", str(fdir),
+            "--item-file", str(item),
+            "--platform", "cpu",
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["abx_error_rate"] < 0.1
+    assert payload["n_categories"] == 2
+    assert payload["n_speakers"] == 2

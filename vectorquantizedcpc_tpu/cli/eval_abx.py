@@ -6,9 +6,15 @@ The reference's flow is encode.py -> external ZeroSpeech ABX toolkit
     python -m vectorquantizedcpc_tpu.cli.eval_abx \\
         --features ./codes --items ./items.json [--within] \\
         [--metric cosine|euclidean]
+    python -m vectorquantizedcpc_tpu.cli.eval_abx \\
+        --features ./codes --item-file ./zr19/english/test/1s/1s.item
 
 ``--items`` is a JSON mapping each feature stem to its labels:
 ``{"<stem>": {"category": "<unit/word id>", "speaker": "<spk id>"}}``.
+``--item-file`` instead consumes an official ZeroSpeech/bootphon triphone
+``.item`` file (what the ZR19 eval corpus ships; reference
+README.md:89-102) — point it at the real corpus and get the ABX number in
+one command.
 Plain argparse (not the dotted-override config tree): this tool consumes
 eval artifacts, not training config.
 """
@@ -20,7 +26,20 @@ import json
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--features", required=True, help="dir of <stem>.txt dumps")
-    ap.add_argument("--items", required=True, help="items JSON (see docstring)")
+    group = ap.add_mutually_exclusive_group(required=True)
+    group.add_argument("--items", help="items JSON (see docstring)")
+    group.add_argument(
+        "--item-file",
+        help="official ZeroSpeech/bootphon .item file (triphone tasks); "
+        "categories = triphones, features sliced by onset/offset",
+    )
+    ap.add_argument(
+        "--frame-period",
+        type=float,
+        default=0.02,
+        help="seconds per latent frame for --item-file slicing (encoder = "
+        "10 ms mel hop x2 downsample = 0.02)",
+    )
     ap.add_argument(
         "--within",
         action="store_true",
@@ -41,13 +60,27 @@ def main() -> None:
 
         jax.config.update("jax_platforms", args.platform)
 
-    from ..eval.abx import abx_error_rate, load_feature_dir
+    from ..eval.abx import abx_error_rate, load_feature_dir, load_item_file
 
-    feats, cats, spks = load_feature_dir(args.features, args.items)
-    with open(args.items) as f:
-        n_items = len(json.load(f))
-    if len(feats) < n_items:
-        print(f"warning: {n_items - len(feats)} items had no feature file")
+    if args.item_file:
+        feats, cats, spks = load_item_file(
+            args.item_file, args.features, frame_period=args.frame_period
+        )
+        with open(args.item_file) as f:
+            n_items = sum(
+                1 for l in f if l.strip() and not l.startswith("#")
+            )
+        if len(feats) < n_items:
+            print(
+                f"warning: {n_items - len(feats)} items skipped (missing "
+                "feature file or shorter than 2 frames)"
+            )
+    else:
+        feats, cats, spks = load_feature_dir(args.features, args.items)
+        with open(args.items) as f:
+            n_items = len(json.load(f))
+        if len(feats) < n_items:
+            print(f"warning: {n_items - len(feats)} items had no feature file")
 
     err = abx_error_rate(
         feats,

@@ -276,6 +276,73 @@ def abx_error_rate(
     return 1.0 - score
 
 
+def load_item_file(
+    item_path: str,
+    feature_dir: str,
+    frame_period: float = 0.02,
+    min_frames: int = 2,
+) -> Tuple[List[np.ndarray], List[str], List[str]]:
+    """Parse an official ZeroSpeech/bootphon ``.item`` file into ABX inputs.
+
+    The ZR19 eval data ships triphone item files (consumed by the external
+    toolkit the reference defers to, reference README.md:89-102) with a
+    header line and one row per item::
+
+        #file onset offset #phone prev-phone next-phone speaker
+        s2801a 0.3825 0.5825 n ay l s2801a
+
+    Each item becomes one ABX token: features are the latent frames of
+    ``<file>.txt`` (an encode.py dump) within [onset, offset), its category
+    the (prev, phone, next) triphone, its speaker the last column.
+
+    ``frame_period``: seconds per latent frame. The encoder halves mel
+    frames (conv stride 2, reference model.py:43) over a 10 ms mel hop
+    (hop 160 @ 16 kHz, reference config.py:110) -> 0.02 s per latent frame.
+
+    Items shorter than ``min_frames`` frames or referencing missing feature
+    files are skipped (counted in the returned lists' length; the CLI
+    reports the totals).
+    """
+    feats: List[np.ndarray] = []
+    cats: List[str] = []
+    spks: List[str] = []
+    cache: Dict[str, np.ndarray] = {}
+    root = Path(feature_dir)
+    with open(item_path) as f:
+        lines = [l.strip() for l in f if l.strip()]
+    if lines and lines[0].startswith("#"):
+        lines = lines[1:]
+    for line in lines:
+        parts = line.split()
+        if len(parts) != 7:
+            raise ValueError(
+                f"malformed .item line (want 7 columns): {line!r}"
+            )
+        fname, onset, offset, phone, prev, nxt, speaker = parts
+        if fname not in cache:
+            path = root / f"{fname}.txt"
+            if not path.exists():
+                cache[fname] = None  # type: ignore[assignment]
+            else:
+                cache[fname] = np.loadtxt(path, dtype=np.float32, ndmin=2)
+        arr = cache[fname]
+        if arr is None:
+            continue
+        lo = int(round(float(onset) / frame_period))
+        hi = int(round(float(offset) / frame_period))
+        seg = arr[max(lo, 0) : min(hi, arr.shape[0])]
+        if seg.shape[0] < min_frames:
+            continue
+        feats.append(seg)
+        cats.append(f"{prev}-{phone}-{nxt}")
+        spks.append(speaker)
+    if not feats:
+        raise FileNotFoundError(
+            f"no usable items from {item_path} with features in {feature_dir}"
+        )
+    return feats, cats, spks
+
+
 def load_feature_dir(
     feature_dir: str, items_json: str
 ) -> Tuple[List[np.ndarray], List[str], List[str]]:

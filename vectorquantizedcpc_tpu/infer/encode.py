@@ -16,7 +16,8 @@ TPU-first: utterances are bucketed by padded length and encoded in BATCHES
 under one jit per bucket shape. Right-padding is exact — the conv is
 causal-safe at the tail (zero padding equals the conv's own p=1 behavior)
 and the LSTM is causal, so frames within the true length are bit-identical
-to unpadded per-utterance encoding (verified in tests/test_infer.py).
+to unpadded per-utterance encoding (verified in tests/test_e2e.py,
+test_encode_padding_is_exact).
 """
 
 import json

@@ -30,7 +30,10 @@ def _vq_kernel(x_ref, e_ref, idx_ref, q_ref, *, n_codes: int):
     dist = e_sq[None, :] - 2.0 * scores
 
     idx = jnp.argmin(dist, axis=-1).astype(jnp.int32)  # (TILE_N,)
-    idx_ref[:] = idx
+    # 2-D (TILE_N, 1) output: Mosaic's layout for 1-D s32 blocks disagrees
+    # with XLA's tiling choice on real TPUs (observed: XLA {0:T(1024)} vs
+    # Mosaic {0:T(512)} -> compile failure); 2-D avoids the mismatch.
+    idx_ref[:] = idx[:, None]
 
     onehot = (
         idx[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, n_codes), 1)
@@ -59,17 +62,17 @@ def vq_encode_fused(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # codebook resident
         ],
         out_specs=(
-            pl.BlockSpec((tile_n,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
     )
     idx, quantized = pl.pallas_call(
         functools.partial(_vq_kernel, n_codes=m),
         out_shape=(
-            jax.ShapeDtypeStruct((n_pad,), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
             jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
         ),
         grid_spec=grid_spec,
         interpret=pltpu.InterpretParams() if interpret else False,
     )(x_padded, embedding)
-    return idx[:n], quantized[:n]
+    return idx[:n, 0], quantized[:n]
