@@ -98,21 +98,33 @@ def main() -> None:
         # noise; relative claims are within-run).
         candidates = []
         for batch, precision in (
-            (8, "bf16"), (8, "int8"), (32, "bf16"),
+            (8, "bf16"), (8, "int8"), (32, "bf16"), (32, "int8"),
             (64, "bf16"), (64, "int8"), (128, "bf16"), (128, "int8"),
         ):
-            z = jnp.asarray(
-                rng.integers(0, net.size_i_codebook, size=(batch, n_frames))
-            )
-            spk = jnp.asarray(rng.integers(0, net.n_speakers, size=(batch,)))
-            decode = jax.jit(
-                lambda key, p=precision, z=z, s=spk: fused_ar_decode(
-                    params, net, z, s, key, precision=p
+            # Per-config guard: one failing point (e.g. an OOM at a large
+            # batch) must not lose the headline or the other points.
+            try:
+                z = jnp.asarray(
+                    rng.integers(0, net.size_i_codebook, size=(batch, n_frames))
                 )
-            )
-            dt = _bench(
-                lambda i, d=decode: d(jax.random.key(i)), n_rep=4, min_of=True
-            )
+                spk = jnp.asarray(
+                    rng.integers(0, net.n_speakers, size=(batch,))
+                )
+                decode = jax.jit(
+                    lambda key, p=precision, z=z, s=spk: fused_ar_decode(
+                        params, net, z, s, key, precision=p
+                    )
+                )
+                dt = _bench(
+                    lambda i, d=decode: d(jax.random.key(i)),
+                    n_rep=4, min_of=True,
+                )
+            except Exception:
+                errors.append(
+                    f"decode[b{batch},{precision}]: "
+                    + traceback.format_exc(limit=2)
+                )
+                continue
             tag = f"decode_{precision}" + (f"_b{batch}" if batch != 8 else "")
             rtf = dt / (t_decode / sr)
             sps = batch * t_decode / dt
@@ -127,7 +139,7 @@ def main() -> None:
         result["vs_baseline"] = round(best / (sr / 0.05), 3)
         result["batch"] = 8
         # Within-run int8-vs-bf16 speedups (>1 = int8 faster).
-        for b in (8, 64, 128):
+        for b in (8, 32, 64, 128):
             bf = result.get(f"decode_bf16_b{b}_us_per_step") if b != 8 \
                 else result.get("decode_bf16_us_per_step")
             i8 = result.get(f"decode_int8_b{b}_us_per_step") if b != 8 \

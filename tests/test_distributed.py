@@ -34,6 +34,12 @@ def test_two_process_train_step():
     # (jax.config); a conflicting XLA_FLAGS device-count force would win.
     env.pop("XLA_FLAGS", None)
     env.pop("JAX_PLATFORMS", None)
+    # The worker must import the package regardless of whether it was
+    # pip-installed into the interpreter running pytest (CI venvs differ).
+    repo_root = str(Path(__file__).resolve().parents[1])
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH")) if p
+    )
 
     procs = [
         subprocess.Popen(

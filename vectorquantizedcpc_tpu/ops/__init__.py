@@ -1,1 +1,1 @@
-"""Pallas TPU kernels: fused VQ nearest-neighbour, fused AR decode, INT8."""
+"""Pallas TPU kernels: fused AR vocoder decode, INT8 weight-only quant."""

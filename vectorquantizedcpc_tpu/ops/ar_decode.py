@@ -12,8 +12,13 @@ Here the ENTIRE decode is one `pallas_call`:
   prev-sample embedding pre-projected through the input kernel into a
   256 x 2688 lookup table and the FC head) — zero HBM weight traffic/step.
 - The conditioning contribution to the GRU input projection is precomputed
-  for ALL timesteps by one big XLA matmul and streamed chunk-by-chunk
-  through the sequential grid with Pallas' automatic double buffering.
+  for ALL timesteps by one big XLA matmul AT FRAME RATE and streamed
+  chunk-by-chunk through the sequential grid with Pallas' automatic double
+  buffering. Conditioning is constant across the ``upsampling_t`` (160)
+  samples of a frame, so the kernel indexes the frame row (``t // hop``)
+  instead of reading a per-sample copy: 160x less cond HBM traffic per
+  step and no sample-rate (T, B, 3H) materialization at all (at batch 128
+  x 2 s that tensor alone would be 22 GB — more than v5e HBM).
 - Each step is: embedding-table row gather (+ cond add) -> one
   (B, 896) x (896, 2688) MXU matmul -> VPU gate math -> FC head -> Gumbel-max
   categorical sample from the on-core PRNG -> write sample, update carries.
@@ -87,7 +92,7 @@ def _embed_gather(sample_2d, embed_ref, scale_ref, batch, n_classes, use_int8):
 
 def _decode_kernel(
     seed_ref,  # (1,) int32 in SMEM (scalar prefetch)
-    cond_ref,  # (CHUNK, B, 3H) bf16 — streamed per grid step
+    cond_ref,  # (CHUNK_F, B, 3H) bf16 — frame-rate, streamed per grid step
     h0_ref,  # (B, H) f32 — initial GRU state (resident)
     prev0_ref,  # (B, 1) int32 — previous mu-law class entering this call
     embed_proj_ref,  # (n_classes, 3H) bf16/int8 — resident
@@ -101,12 +106,13 @@ def _decode_kernel(
     fc2_ref,  # (F, n_classes) bf16 (input is post-ReLU, i.e. unbounded)
     fc2_scale_ref,  # (1, n_classes) f32
     fc2_b_ref,  # (1, n_classes) f32
-    out_ref,  # (CHUNK, B) int32 — written per grid step
+    out_ref,  # (CHUNK_F * hop, B) int32 — written per grid step
     h_out_ref,  # (B, H) f32 — final GRU state (constant block)
     h_scratch,  # (B, H) f32 — persists across grid steps
     emb_scratch,  # (B, 3H) f32 — embedding rows of the previous sample
     *,
-    chunk: int,
+    chunk_frames: int,
+    hop: int,
     batch: int,
     hidden: int,
     n_classes: int,
@@ -131,7 +137,8 @@ def _decode_kernel(
 
     def body(t, _):
         h = h_scratch[:]  # (B, H) f32
-        xp = emb_scratch[:] + cond_ref[t].astype(jnp.float32)  # (B, 3H)
+        # Conditioning is constant within a frame: index the frame row.
+        xp = emb_scratch[:] + cond_ref[t // hop].astype(jnp.float32)  # (B, 3H)
 
         hproj = _mm(h, wh_ref, wh_scale_ref, use_int8) + bh_ref[0]
         xr, xz, xn = (
@@ -186,7 +193,7 @@ def _decode_kernel(
         )
         return 0
 
-    jax.lax.fori_loop(0, chunk, body, 0, unroll=False)
+    jax.lax.fori_loop(0, chunk_frames * hop, body, 0, unroll=False)
     # State handoff for segmented/continuous decode: the block maps to a
     # constant index, so it lives in VMEM across the grid and flushes to
     # HBM once at the end.
@@ -196,11 +203,12 @@ def _decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "conf_hidden", "conf_classes", "chunk", "greedy", "use_int8", "interpret",
+        "conf_hidden", "conf_classes", "chunk_frames", "hop", "greedy",
+        "use_int8", "interpret",
     ),
 )
 def _fused_decode_impl(
-    cond_proj: jax.Array,  # (T, B, 3H) bf16
+    cond_proj: jax.Array,  # (Tf, B, 3H) bf16 — FRAME rate
     h0: jax.Array,  # (B, H) f32
     prev0: jax.Array,  # (B, 1) int32
     embed_proj: jax.Array,  # (n_classes, 3H) bf16/int8
@@ -211,26 +219,28 @@ def _fused_decode_impl(
     seed: jax.Array,  # (1,) int32
     conf_hidden: int,
     conf_classes: int,
-    chunk: int,
+    chunk_frames: int,
+    hop: int,
     greedy: bool,
     use_int8: bool,
     interpret: bool,
 ):
-    t, b, proj3h = cond_proj.shape
-    n_chunks = t // chunk
+    tf, b, proj3h = cond_proj.shape
+    n_chunks = tf // chunk_frames
+    chunk_t = chunk_frames * hop
     resident = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec(
-                (chunk, b, proj3h), lambda i, *_: (i, 0, 0),
+                (chunk_frames, b, proj3h), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ] + [resident() for _ in range(13)],
         out_specs=[
             pl.BlockSpec(
-                (chunk, b), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                (chunk_t, b), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (b, conf_hidden), lambda i, *_: (0, 0),
@@ -244,7 +254,8 @@ def _fused_decode_impl(
     )
     kernel = functools.partial(
         _decode_kernel,
-        chunk=chunk,
+        chunk_frames=chunk_frames,
+        hop=hop,
         batch=b,
         hidden=conf_hidden,
         n_classes=conf_classes,
@@ -254,7 +265,7 @@ def _fused_decode_impl(
     return pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((t, b), jnp.int32),
+            jax.ShapeDtypeStruct((tf * hop, b), jnp.int32),
             jax.ShapeDtypeStruct((b, conf_hidden), jnp.float32),
         ],
         grid_spec=grid_spec,
@@ -349,8 +360,9 @@ def project_cond_frames(
     """Frame-rate conditioning (B, Tf, V) -> GRU input projection (B, Tf, 3H).
 
     One MXU matmul per utterance at FRAME rate — ``upsampling_t`` (160x)
-    smaller than projecting after sample-rate upsampling. The serving layer
-    pools these compactly and repeats per segment.
+    smaller than projecting after sample-rate upsampling. The kernel also
+    streams conditioning at frame rate (indexing ``t // hop``), so this is
+    the final layout: nothing is ever materialized at sample rate.
     """
     return (cond_frames @ weights.wx_cond + weights.bx).astype(jnp.bfloat16)
 
@@ -366,12 +378,15 @@ def init_decode_state(
     )
 
 
-def _chunk_heuristic(batch: int, hidden: int) -> int:
-    # VMEM budget: the streamed cond chunk is double-buffered
-    # (2 x chunk x B x 3H bf16) next to ~7 MiB of resident weights; keep
-    # the pipeline under ~6 MiB while amortizing grid overhead.
-    proj3h_bytes = 2 * 3 * hidden * batch * 2
-    return max(8, min(256, (6 << 20) // proj3h_bytes))
+def _chunk_frames_heuristic(batch: int, hidden: int, hop: int) -> int:
+    # VMEM budget: the streamed frame-rate cond chunk is double-buffered
+    # (2 x chunk_f x B x 3H bf16) and the output block is chunk_f x hop x B
+    # int32, next to ~7 MiB of resident weights; keep both under ~3 MiB
+    # apiece while amortizing grid overhead.
+    cond_bytes = 2 * batch * 3 * hidden * 2
+    out_bytes = hop * batch * 4
+    per_frame = max(cond_bytes, out_bytes)
+    return max(1, min(64, (3 << 20) // per_frame))
 
 
 def fused_ar_decode_segment(
@@ -390,22 +405,23 @@ def fused_ar_decode_segment(
     Returns (mu-law classes (B, Sf*upsampling_t) int32, next state). The
     state handoff is exact: chaining segments reproduces a single-shot
     greedy decode bit-for-bit (tests/test_ar_decode.py). Powers the
-    continuous-batching server (infer/serving.py).
+    continuous-batching server (infer/serving.py). ``chunk`` is in SAMPLES
+    (rounded down to whole frames); 0 = auto.
     """
     hop = conf.rnnms.upsampling_t
     hidden = conf.rnnms.wave_ar.size_h_rnn
     n_classes = 2 ** conf.rnnms.bits_mu_law
     b, sf, _ = cond_proj_frames.shape
-    t = sf * hop
 
-    if chunk <= 0:
-        # The chunk must divide T exactly (padding would advance the carried
-        # state past the segment): largest divisor under the VMEM budget.
-        target = _chunk_heuristic(b, hidden)
-        chunk = next(d for d in range(min(target, t), 0, -1) if t % d == 0)
+    if chunk > 0:
+        chunk_f = max(1, chunk // hop)
+    else:
+        # Must divide Sf exactly (padding would advance the carried state
+        # past the segment): largest divisor under the VMEM budget.
+        target = _chunk_frames_heuristic(b, hidden, hop)
+        chunk_f = next(d for d in range(min(target, sf), 0, -1) if sf % d == 0)
 
-    cond_proj = jnp.repeat(cond_proj_frames, hop, axis=1)  # (B, T, 3H)
-    cond_proj = jnp.swapaxes(cond_proj, 0, 1)  # (T, B, 3H)
+    cond_proj = jnp.swapaxes(cond_proj_frames, 0, 1)  # (Sf, B, 3H)
 
     seed = jax.random.randint(rng, (1,), 0, np.iinfo(np.int32).max, jnp.int32)
     samples, h_final = _fused_decode_impl(
@@ -417,7 +433,8 @@ def fused_ar_decode_segment(
         seed,
         conf_hidden=hidden,
         conf_classes=n_classes,
-        chunk=chunk,
+        chunk_frames=chunk_f,
+        hop=hop,
         greedy=greedy,
         use_int8=precision == "int8",
         interpret=interpret,
@@ -453,21 +470,21 @@ def fused_ar_decode(
 
     weights = prep_decode_weights(params, conf, precision)
     cond_frames = build_conditioning_frames(params, conf, z_indices, speaker)
-    cond_proj = jnp.repeat(
-        project_cond_frames(weights, cond_frames), hop, axis=1
-    )
-    b, t, _ = cond_proj.shape
-    cond_proj = jnp.swapaxes(cond_proj, 0, 1)  # (T, B, 3H)
+    cond_proj = project_cond_frames(weights, cond_frames)  # (B, Tf, 3H)
+    b, tf, _ = cond_proj.shape
+    t = tf * hop
+    cond_proj = jnp.swapaxes(cond_proj, 0, 1)  # (Tf, B, 3H)
 
-    if chunk <= 0:
-        c = _chunk_heuristic(b, hidden)
-        chunk = 1 << (c.bit_length() - 1)  # round down to a power of 2
+    if chunk > 0:
+        chunk_f = max(1, chunk // hop)
+    else:
+        chunk_f = _chunk_frames_heuristic(b, hidden, hop)
 
-    # Pad T to a chunk multiple (extra steps generate past the end; sliced
+    # Pad Tf to a chunk multiple (extra steps generate past the end; sliced
     # off below — the AR recursion is causal so earlier samples are exact).
-    t_pad = -(-t // chunk) * chunk
-    if t_pad != t:
-        cond_proj = jnp.pad(cond_proj, ((0, t_pad - t), (0, 0), (0, 0)))
+    tf_pad = -(-tf // chunk_f) * chunk_f
+    if tf_pad != tf:
+        cond_proj = jnp.pad(cond_proj, ((0, tf_pad - tf), (0, 0), (0, 0)))
 
     state0 = init_decode_state(b, conf)
     seed = jax.random.randint(rng, (1,), 0, np.iinfo(np.int32).max, jnp.int32)
@@ -480,7 +497,8 @@ def fused_ar_decode(
         seed,
         conf_hidden=hidden,
         conf_classes=n_classes,
-        chunk=chunk,
+        chunk_frames=chunk_f,
+        hop=hop,
         greedy=greedy,
         use_int8=use_int8,
         interpret=interpret,
