@@ -99,7 +99,8 @@ def main() -> None:
         candidates = []
         for batch, precision in (
             (8, "bf16"), (8, "int8"), (32, "bf16"), (32, "int8"),
-            (64, "bf16"), (64, "int8"), (128, "bf16"), (128, "int8"),
+            (48, "bf16"), (64, "bf16"), (64, "int8"),
+            (128, "bf16"), (128, "int8"),
         ):
             # Per-config guard: one failing point (e.g. an OOM at a large
             # batch) must not lose the headline or the other points.
