@@ -176,10 +176,13 @@ def main() -> None:
 
         hop = net.rnnms.upsampling_t
         buckets = [25, 50, 100]
-        # segment_frames=16: finer retirement quantization wastes less
-        # decode on the short buckets (measured ~10% over 32 on this mix).
+        # segment_frames=8: finest retirement quantization wastes the
+        # least decode on each stream's final partial segment (sweep:
+        # benchmarks/sweep_serving.py — 9.4M at sf=8 vs 8.0M at sf=16 vs
+        # 8.6M at sf=32 for slots=32; larger pools lose, the 48-request
+        # mix can't keep them full).
         server = ContinuousBatcher(
-            params, net, slots=32, segment_frames=16,
+            params, net, slots=32, segment_frames=8,
             max_frames=2 * max(buckets) + 32,
         )
         reqs = [
