@@ -135,10 +135,9 @@ def _decode_kernel(
         # Independent per-chunk PRNG stream.
         pltpu.prng_seed(seed_ref[0] + step_idx)
 
-    def body(t, _):
+    def step(t, cond_row):
         h = h_scratch[:]  # (B, H) f32
-        # Conditioning is constant within a frame: index the frame row.
-        xp = emb_scratch[:] + cond_ref[t // hop].astype(jnp.float32)  # (B, 3H)
+        xp = emb_scratch[:] + cond_row  # (B, 3H)
 
         hproj = _mm(h, wh_ref, wh_scale_ref, use_int8) + bh_ref[0]
         xr, xz, xn = (
@@ -191,9 +190,27 @@ def _decode_kernel(
             sample[:, None], embed_proj_ref, embed_scale_ref,
             batch, n_classes, use_int8,
         )
+
+    # Nested frame/sample loops: conditioning is constant within a frame,
+    # so the (B, 3H) row is read once per ``hop`` samples (no per-step
+    # scalar ``t // hop`` divide), and the inner loop is manually unrolled
+    # 4x (Mosaic's fori_loop supports only unroll=1/full) to amortize loop
+    # control. Step order, and therefore the PRNG consumption order and
+    # every sample, is IDENTICAL to the flat loop.
+    unroll = 4 if hop % 4 == 0 else 1
+
+    def frame_body(f, _):
+        cond_row = cond_ref[f].astype(jnp.float32)  # (B, 3H)
+
+        def sample_body(k, _):
+            for j in range(unroll):
+                step(f * hop + k * unroll + j, cond_row)
+            return 0
+
+        jax.lax.fori_loop(0, hop // unroll, sample_body, 0)
         return 0
 
-    jax.lax.fori_loop(0, chunk_frames * hop, body, 0, unroll=False)
+    jax.lax.fori_loop(0, chunk_frames, frame_body, 0)
     # State handoff for segmented/continuous decode: the block maps to a
     # constant index, so it lives in VMEM across the grid and flushes to
     # HBM once at the end.
