@@ -33,7 +33,7 @@ from ..data.corpus import get_corpus
 from ..data.datasets import CPCMelSpkDataset
 from ..data.loader import PrefetchLoader
 from ..data.preprocess import preprocess_corpus
-from ..models.cpc import CPCParams, cpc_apply, cpc_init
+from ..models.cpc import CPCParams, cpc_apply, cpc_apply_with_indices, cpc_init
 from ..models.encoder import EncoderParams, encoder_forward, encoder_init
 from ..models.vq import VQEMAState
 from .checkpoint import (
@@ -75,9 +75,16 @@ def init_train_state(conf: ConfGlobal, rng: jax.Array) -> CPCTrainState:
     )
 
 
-def make_train_step(conf: ConfGlobal, mesh=None):
+def make_train_step(conf: ConfGlobal, mesh=None, inject_negatives: bool = False):
     """Build the jitted train step. Signature:
     (state, mels (S, U, F, T), rng, lr) -> (state, metrics dict).
+
+    With ``inject_negatives`` the ``rng`` argument is replaced by a
+    ``(utt_index, seq_index)`` tuple of precomputed negative-sample indices
+    (see models/cpc.py:sample_negative_indices for shapes) — used by the
+    lockstep parity tests against the actual reference implementation, where
+    both frameworks must consume identical draws (reference model.py:251-272
+    samples from the global torch RNG).
 
     With ``mesh``, the state/batch get DP+TP NamedShardings (speaker axis on
     `data`, wide kernels on `model`; see parallel/sharding.py) and XLA
@@ -88,7 +95,7 @@ def make_train_step(conf: ConfGlobal, mesh=None):
     compute_dtype = jnp.dtype(conf.runtime.precision)
     optimizer = make_optimizer()
 
-    def step(state: CPCTrainState, mels: jax.Array, rng: jax.Array, lr: jax.Array):
+    def step(state: CPCTrainState, mels: jax.Array, rng, lr: jax.Array):
         # (Spk, Utt, Freq, T) -> (Spk*Utt, Freq, T): flatten like the
         # reference (train_cpc.py:110-114); CPC re-splits internally.
         mels_flat = mels.reshape(s * u, mels.shape[2], mels.shape[3])
@@ -97,10 +104,16 @@ def make_train_step(conf: ConfGlobal, mesh=None):
             z, c, new_vq, vq_loss, perplexity = encoder_forward(
                 params["enc"], state.vq, mels_flat, compute_dtype
             )
-            cpc_loss, accuracies = cpc_apply(
-                params["cpc"], cpc_conf, z, c, rng,
-                exclude_self_negatives=conf.training.cpc.exclude_self_negatives,
-            )
+            if inject_negatives:
+                cpc_loss, accuracies = cpc_apply_with_indices(
+                    params["cpc"], cpc_conf, z, c, rng[0], rng[1],
+                    exclude_self_negatives=conf.training.cpc.exclude_self_negatives,
+                )
+            else:
+                cpc_loss, accuracies = cpc_apply(
+                    params["cpc"], cpc_conf, z, c, rng,
+                    exclude_self_negatives=conf.training.cpc.exclude_self_negatives,
+                )
             total = cpc_loss + vq_loss
             return total, (new_vq, cpc_loss, vq_loss, perplexity, accuracies)
 

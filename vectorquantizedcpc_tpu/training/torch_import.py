@@ -39,7 +39,12 @@ def load_torch_checkpoint(path: Union[str, Path]) -> Dict[str, Any]:
 
 
 def _np(t) -> np.ndarray:
-    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+    # Must COPY: tensor.numpy() is a view of torch storage, and JAX's CPU
+    # backend zero-copies aligned host buffers on device_put — without the
+    # copy, imported params would alias live torch tensors and mutate under
+    # us if the torch model keeps training (caught by the lockstep parity
+    # test, tests/test_reference_parity.py).
+    return np.array(t.detach().cpu().numpy() if hasattr(t, "detach") else t, copy=True)
 
 
 def import_encoder(
