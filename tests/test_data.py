@@ -145,10 +145,123 @@ def test_prefetch_loader_propagates_errors(features_dir):
         list(loader)
 
 
-def test_get_corpus_download_refused():
+def test_get_corpus_download_needs_root():
     conf = load_conf(["data.corpus.download=true"]).data.corpus
-    with pytest.raises(RuntimeError, match="no network egress"):
+    with pytest.raises(ValueError, match="download destination"):
         get_corpus("ZR19", conf)
+
+
+# ---------------------------------------------------------------------------
+# Transparent corpus download (reference README.md:41-43 — speechcorpusy
+# fetches ZR19 on first use). The fetch is injectable so the full
+# fetch -> checksum -> extract -> marker path runs without egress.
+# ---------------------------------------------------------------------------
+
+
+def _fake_zr19_archive(path, n_wavs=3):
+    """Build a tiny english.tgz with the official extraction layout."""
+    import io
+    import tarfile
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(np.zeros(160, np.int16).tobytes())
+    wav_bytes = buf.getvalue()
+
+    with tarfile.open(path, "w:gz") as tf:
+        for i in range(n_wavs):
+            info = tarfile.TarInfo(f"english/train/unit/S{i:03d}_{i:07d}.wav")
+            info.size = len(wav_bytes)
+            tf.addfile(info, io.BytesIO(wav_bytes))
+
+
+def test_download_fetch_extract_idempotent(tmp_path):
+    """Injected fetch -> extract -> enumerate; second use hits the marker."""
+    from vectorquantizedcpc_tpu.data.corpus import ZR19Corpus
+
+    calls = []
+
+    def fetcher(url, dest):
+        calls.append(url)
+        _fake_zr19_archive(dest)
+
+    conf = load_conf(
+        ["data.corpus.download=true", f"data.corpus.root={tmp_path}"]
+    ).data.corpus
+    corpus = ZR19Corpus(conf, fetcher=fetcher)
+    utts = corpus.utterances()
+    assert len(utts) == 3
+    assert sorted(u.speaker for u in utts) == ["S000", "S001", "S002"]
+    assert calls == ["https://download.zerospeech.com/2019/english.tgz"]
+
+    # Idempotent: completion marker short-circuits fetch AND extract.
+    corpus2 = ZR19Corpus(conf, fetcher=fetcher)
+    assert len(corpus2.utterances()) == 3
+    assert len(calls) == 1
+
+
+def test_download_checksum_verified(tmp_path, monkeypatch):
+    """A pinned sha256 is enforced: match passes, mismatch fails loudly."""
+    import hashlib
+
+    from vectorquantizedcpc_tpu.data import corpus as corpus_mod
+
+    archive = tmp_path / "src.tgz"
+    _fake_zr19_archive(archive)
+    digest = hashlib.sha256(archive.read_bytes()).hexdigest()
+
+    def fetcher(url, dest):
+        dest.write_bytes(archive.read_bytes())
+
+    good = corpus_mod.ArchiveSpec(
+        url="https://example.invalid/english.tgz",
+        filename="english.tgz",
+        sha256=digest,
+    )
+    monkeypatch.setitem(corpus_mod.CORPUS_ARCHIVES, "ZeroSpeech2019", good)
+    root = corpus_mod.download_corpus(
+        "ZeroSpeech2019", tmp_path / "ok", fetcher
+    )
+    assert (root / "english" / "train" / "unit").exists()
+
+    bad = corpus_mod.ArchiveSpec(
+        url=good.url, filename=good.filename, sha256="0" * 64
+    )
+    monkeypatch.setitem(corpus_mod.CORPUS_ARCHIVES, "ZeroSpeech2019", bad)
+    with pytest.raises(RuntimeError, match="Checksum mismatch"):
+        corpus_mod.download_corpus("ZeroSpeech2019", tmp_path / "bad", fetcher)
+
+
+def test_download_no_public_archive(tmp_path):
+    """JVS has no stable public URL -> actionable manual-download error."""
+    from vectorquantizedcpc_tpu.data.corpus import JVSCorpus
+
+    conf = load_conf(
+        ["data.corpus.download=true", f"data.corpus.root={tmp_path}"]
+    ).data.corpus
+    with pytest.raises(RuntimeError, match="manually"):
+        JVSCorpus(conf)
+
+
+def test_download_default_fetcher_egress_error(tmp_path, monkeypatch):
+    """The default urllib fetcher turns network failure into an actionable
+    error (this environment has no egress — but don't rely on that: stub
+    urlopen to fail deterministically)."""
+    import urllib.request
+
+    from vectorquantizedcpc_tpu.data.corpus import default_fetcher
+
+    def boom(*a, **k):
+        raise OSError("network unreachable")
+
+    monkeypatch.setattr(urllib.request, "urlopen", boom)
+    with pytest.raises(RuntimeError, match="no network egress"):
+        default_fetcher("https://example.invalid/x.tgz", tmp_path / "x.tgz")
+    assert not (tmp_path / "x.tgz.part").exists()
 
 
 def test_datamodule_wrappers(corpus_dir, features_dir):

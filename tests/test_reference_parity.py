@@ -330,14 +330,19 @@ def test_reference_encode_parity(refmodel, rng):
     enc_ref.eval()
     params, vq_state = import_encoder(enc_ref.state_dict())
 
-    mel = rng.normal(size=(3, IN_CH, 98)).astype(np.float32)
-    with torch.no_grad():
-        z_ref, c_ref, idx_ref = enc_ref.encode(torch.from_numpy(mel))
-    z, c, idx = encoder_encode(params, vq_state, jnp.asarray(mel))
+    # ODD length: the k4/s2/p1 conv yields floor(T/2) frames whose last
+    # window covers the true final sample (VERDICT r2 weak #5 — an
+    # even-trim would zero it and corrupt the last latent frame).
+    for t in (98, 97):
+        mel = rng.normal(size=(3, IN_CH, t)).astype(np.float32)
+        with torch.no_grad():
+            z_ref, c_ref, idx_ref = enc_ref.encode(torch.from_numpy(mel))
+        z, c, idx = encoder_encode(params, vq_state, jnp.asarray(mel))
 
-    np.testing.assert_array_equal(np.asarray(idx), idx_ref.numpy())
-    np.testing.assert_allclose(np.asarray(z), z_ref.numpy(), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(c), c_ref.numpy(), atol=1e-5)
+        assert z.shape[1] == t // 2 == z_ref.shape[1]
+        np.testing.assert_array_equal(np.asarray(idx), idx_ref.numpy())
+        np.testing.assert_allclose(np.asarray(z), z_ref.numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c), c_ref.numpy(), atol=1e-5)
 
 
 def test_vocoder_train_step_vs_torch_transcription(rng):

@@ -9,8 +9,10 @@ tarepan/VectorQuantizedCPC (reference layout documented in SURVEY.md):
 - ``data``      — corpora, datasets, host->device loaders (reference: datamodule.py)
 - ``models``    — Encoder / VQ-EMA / CPC loss / RNN_MS vocoder
                   (reference: model.py, network_vocoder.py)
-- ``ops``       — Pallas TPU kernels: fused VQ nearest-neighbour, fused AR
-                  GRU decode, INT8 weight-only quantization
+- ``ops``       — Pallas TPU kernels: fused AR GRU decode (VMEM-resident
+                  weights/state, on-core sampling), INT8 weight-only
+                  quantization (VQ nearest-neighbour stays on the XLA path —
+                  a hand-written kernel measured no faster and was removed)
 - ``parallel``  — device mesh, named shardings, DP/TP partitioning
 - ``training``  — jitted train steps, schedules, checkpointing
                   (reference: train_cpc.py, train_vocoder.py, scheduler.py)

@@ -83,8 +83,10 @@ def convert(conf: ConfGlobal, batch_size: int = 8) -> int:
     for wav_path, speaker_id, out_filename in synthesis_list:
         wav, _ = read_wav((in_dir / wav_path).with_suffix(".wav"), sr=pp.sr)
         ref_loudness = integrated_loudness(wav, pp.sr)
+        # Full frame count, odd T included: the encoder conv yields
+        # floor(T/2) codes with the true last frame in-window (reference
+        # model.py:43) — no even-trim (that would zero a real frame).
         mel = wave_to_mel(wav, pp)
-        mel = mel[:, : (mel.shape[1] // 2) * 2]
         jobs.append(
             {
                 "mel": mel,
@@ -134,7 +136,11 @@ def convert(conf: ConfGlobal, batch_size: int = 8) -> int:
             )
 
             for j, i in enumerate(chunk):
-                n_samples = jobs[i]["mel"].shape[1] * conf.data.dataset.mel_stft_stride
+                # floor(T/2) codes -> x2 cond frames -> x hop samples.
+                n_samples = (
+                    (jobs[i]["mel"].shape[1] // 2) * 2
+                    * conf.data.dataset.mel_stft_stride
+                )
                 out_wave = np.asarray(waves[j][:n_samples], np.float64)
                 out_loudness = integrated_loudness(out_wave, pp.sr)
                 out_wave = normalize_loudness(

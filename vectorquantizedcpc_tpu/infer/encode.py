@@ -87,8 +87,11 @@ def encode_dataset(conf: ConfGlobal, batch_size: int = 16) -> int:
 
     mel_paths = _discover_mels(conf)
     mels = [np.load(p) for p in mel_paths]
-    # Trim to even frame count (time is halved by the conv).
-    lengths = [(m.shape[1] // 2) * 2 for m in mels]
+    # Keep the TRUE frame count: the k4/s2/p1 conv yields floor(T/2) output
+    # frames whose last window covers the real final sample even for odd T
+    # (reference model.py:43); right-padding to the bucket length only adds
+    # zeros beyond index T-1, which no valid output window touches.
+    lengths = [m.shape[1] for m in mels]
 
     encode_fn = jax.jit(
         partial(encoder_encode, return_pre_vq=True), static_argnames=()

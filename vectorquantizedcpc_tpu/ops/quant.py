@@ -1,11 +1,16 @@
 """INT8 weight-only quantization for the vocoder decode path.
 
 Symmetric per-output-channel scheme: ``w ~= w_int8 * scale[None, :]`` with
-``scale = absmax(w, axis=0) / 127``. In the fused decode kernel the
-activations are dynamically quantized per row so the matmul runs as
-int8 x int8 -> int32 on the MXU (2x bf16 throughput) and the int8 weights
-halve VMEM residency (the AR-GRU recurrent kernel drops from 4.6 MiB bf16
-to 2.3 MiB), per BASELINE.md's "INT8 weight-only dequant+matmul" target.
+``scale = absmax(w, axis=0) / 127``. In the fused decode kernel
+(ops/ar_decode.py) the activations are quantized with STATIC scales — the
+GRU hidden state is algebraically bounded in (-1, 1), so activation
+quantization is one fused ``round(x * 127)`` with no per-row abs-max
+reduction, and the 1/127 folds into the precomputed per-channel weight
+scale. The matmul then runs int8 x int8 -> int32 on the MXU (2x bf16
+throughput) and the int8 weights halve VMEM residency (the AR-GRU
+recurrent kernel drops from 4.6 MiB bf16 to 2.3 MiB), per BASELINE.md's
+"INT8 weight-only dequant+matmul" target. (Round 1 used dynamic per-row
+activation quant; it benchmarked slower than bf16 and was replaced.)
 """
 
 from typing import Tuple

@@ -158,14 +158,38 @@ def validate(
     out_dir: Path,
     global_step: int,
     writer=None,
+    decode_interpret: bool = False,
 ) -> None:
-    """AR reconstruction + VC samples (reference vocoder.py:68-94)."""
+    """AR reconstruction + VC samples (reference vocoder.py:68-94).
+
+    On TPU the autoregressive decode runs through the fused Pallas kernel
+    (same selection as infer/convert.py) — full-length validation
+    utterances through the lax.scan path cost ~45x more wall clock (scan
+    RTF ~2.25 vs kernel ~0.04; BENCH_r02), which at 540 epochs / val every
+    10 would dominate training. The scan path is kept for CPU.
+    """
     from ..dsp.audio_io import write_wav
 
     net_conf = conf.training_vocoder.model.network
     n_spk = conf.training_vocoder.model.n_speakers
     spk_increment = 5  # reference vocoder.py:49
     sr = conf.training_vocoder.model.sampling_rate
+    use_fused = conf.runtime.use_pallas and jax.default_backend() == "tpu"
+    if use_fused:
+        from ..ops.ar_decode import fused_ar_decode
+
+        precision = "int8" if conf.runtime.precision == "int8" else "bf16"
+
+        def generate(params, indices, spk, rng):
+            return fused_ar_decode(
+                params, net_conf, indices, spk, rng, precision=precision,
+                interpret=decode_interpret,
+            )
+
+    else:
+
+        def generate(params, indices, spk, rng):
+            return vocoder_generate(params, net_conf, indices, spk, rng)
 
     for audio, mel, speaker in val_items:
         mel_j = jnp.asarray(mel, jnp.float32)[None]
@@ -173,11 +197,11 @@ def validate(
         spk_src = int(speaker)
         spk_tgt = (spk_src + spk_increment) % n_spk
         rng = jax.random.key(global_step)
-        wave_reconst = vocoder_generate(
-            state.params, net_conf, indices, jnp.asarray([spk_src]), rng
+        wave_reconst = generate(
+            state.params, indices, jnp.asarray([spk_src]), rng
         )
-        wave_vc = vocoder_generate(
-            state.params, net_conf, indices, jnp.asarray([spk_tgt]), rng
+        wave_vc = generate(
+            state.params, indices, jnp.asarray([spk_tgt]), rng
         )
         out_dir.mkdir(parents=True, exist_ok=True)
         wr = np.asarray(wave_reconst[0])
@@ -286,19 +310,44 @@ def train_vocoder(
     install_preemption_handler()
     preempted = False
 
+    # Profiling hooks (reference train_vocoder.py:19-21,88 passes a
+    # Lightning profiler flag — the one profiling surface the reference
+    # HAS). `runtime.profile_dir` captures a device trace of a few
+    # post-compile steps (same contract as the CPC loop);
+    # `trainer.profiler` ("simple"/"advanced") prints a host-side action
+    # timing report at the end of training.
+    profile_dir = conf.runtime.profile_dir
+    profiling = False
+    profile_start = global_step + 3
+    simple_profiler = tv.trainer.profiler is not None
+    prof_totals = {"data_wait_s": 0.0, "train_dispatch_s": 0.0, "n_steps": 0}
+
     for epoch in range(start_epoch, tv.trainer.max_epochs + 1):
         loader.set_epoch(epoch)
+        t_iter = time.time()
         for audio, mel, speakers in loader:
+            prof_totals["data_wait_s"] += time.time() - t_iter
+            if profile_dir and not profiling and global_step == profile_start:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
             lr = jnp.float32(schedule(global_step))
             if mesh is not None:
                 audio = jax.device_put(audio, audio_sh)
                 mel = jax.device_put(mel, mel_sh)
                 speakers = jax.device_put(speakers, spk_sh)
+            t_step = time.time()
             state, metrics = train_step(
                 state, enc_params, vq_state, audio, mel, speakers, lr
             )
+            prof_totals["train_dispatch_s"] += time.time() - t_step
+            prof_totals["n_steps"] += 1
             global_step += 1
             losses.append(metrics["loss"])
+            if profiling and global_step >= profile_start + 3:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"Wrote profiler trace to {profile_dir}")
 
             if global_step % 100 == 0:
                 loss_mean = float(np.mean(jax.device_get(losses)))
@@ -323,6 +372,7 @@ def train_vocoder(
 
             if max_steps is not None and global_step >= max_steps:
                 break
+            t_iter = time.time()
 
         state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
 
@@ -340,6 +390,25 @@ def train_vocoder(
         if max_steps is not None and global_step >= max_steps:
             break
 
+    if profiling:  # trace still open (training ended early)
+        jax.profiler.stop_trace()
+        print(f"Wrote profiler trace to {profile_dir}")
+    if simple_profiler and prof_totals["n_steps"]:
+        n = prof_totals["n_steps"]
+        print(
+            "Profiler report ({}):\n"
+            "  action           total_s    mean_ms    steps\n"
+            "  data_wait      {:9.3f}  {:9.3f}  {:7d}\n"
+            "  train_dispatch {:9.3f}  {:9.3f}  {:7d}".format(
+                tv.trainer.profiler,
+                prof_totals["data_wait_s"],
+                1e3 * prof_totals["data_wait_s"] / n,
+                n,
+                prof_totals["train_dispatch_s"],
+                1e3 * prof_totals["train_dispatch_s"] / n,
+                n,
+            )
+        )
     ckpt_writer.wait()
     save_checkpoint(ckpt_dir, global_step, state)
     return state
