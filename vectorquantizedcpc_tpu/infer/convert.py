@@ -106,7 +106,14 @@ def convert(conf: ConfGlobal, batch_size: int = 8) -> int:
     # Production path: fused Pallas decode on TPU (VMEM-resident weights,
     # one kernel for the whole utterance); lax.scan elsewhere.
     use_fused = conf.runtime.use_pallas and jax.default_backend() == "tpu"
-    precision = "int8" if conf.runtime.precision == "int8" else "bf16"
+    # "auto" defers the bf16/int8 choice to the measured per-batch
+    # crossover (ops/ar_decode.py:INT8_CROSSOVER_BATCH) so a config asking
+    # for quantization never silently gets the slower mode at small batch.
+    precision = (
+        conf.runtime.precision
+        if conf.runtime.precision in ("int8", "auto")
+        else "bf16"
+    )
 
     @jax.jit
     def encode_and_generate(mels, spk, rng):

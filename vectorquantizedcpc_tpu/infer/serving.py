@@ -27,14 +27,22 @@ network_vocoder.py:69-78):
   per-length-bucket conditioning (PreNet biGRU + GRU input projection,
   ops/ar_decode.py:project_cond_frames) into a staging pool, (b) a few
   ``lax.scan`` chunks over precomputed (request-row, position, fresh)
-  tables, each inner step gathering every slot's conditioning window,
-  running the fused kernel, and scattering decoded mu-law classes into
-  per-request output rows (a windowed ``lax.scatter`` — one
-  dynamic-update-slice per slot), and (c) ONE bulk mu-law expansion +
-  device fetch at the end. Round 1 dispatched 2 programs per admission
-  plus 1 per 32-frame segment; over a high-latency (tunneled) link those
-  ~150 dispatches cost ~10 ms each and held serving to ~5% of the raw
-  kernel throughput.
+  tables, each inner step gathering every slot's conditioning window and
+  running the fused kernel; the decoded mu-law classes are the scan's
+  native stacked output — a (steps, slots, seg_samples) **timeline** —
+  and (c) per-length-bucket reassembly gathers that map each request's
+  host-known (slot, step-range) back to a compact per-request class
+  buffer. Because the schedule is host-known, a request's bucket is
+  gathered and its D2H transfer started **as soon as the chunk containing
+  its last segment is dispatched** — result download overlaps the
+  remaining drain compute instead of serializing after it. Round 1
+  dispatched 2 programs per admission plus 1 per 32-frame segment; over a
+  high-latency (tunneled) link those ~150 dispatches cost ~10 ms each and
+  held serving to ~5% of the raw kernel throughput. Round 2 scattered
+  every step's samples into a per-request (rows, max_samples) buffer
+  carried through the scan — the windowed ``lax.scatter`` plus the
+  donated 85 MB carry cost ~23% of the raw kernel throughput; the
+  timeline form writes each step's samples exactly once, contiguously.
 
 - :meth:`step` keeps the incremental mode for online streaming use: one
   segment across all slots per call, admission from the queue into freed
@@ -73,16 +81,6 @@ from ..ops.ar_decode import (
 )
 
 __all__ = ["ContinuousBatcher"]
-
-# Windowed scatter: each (row, col_start) index writes a (1, L) window —
-# i.e. a batch of dynamic-update-slices, which XLA lowers efficiently
-# (a flat per-element index formulation would not).
-_SCATTER_DNUMS = jax.lax.ScatterDimensionNumbers(
-    update_window_dims=(1,),
-    inserted_window_dims=(0,),
-    scatter_dims_to_operand_dims=(0, 1),
-)
-
 
 def _pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
@@ -154,6 +152,11 @@ class ContinuousBatcher:
         self._max_frames = max_frames + segment_frames  # slack for overrun
         self._hop = conf.rnnms.upsampling_t
         self._n_classes = 2 ** conf.rnnms.bits_mu_law
+        # "auto": the kernel batch is this chip's slot shard — pick int8
+        # only at/past its measured crossover (ops/ar_decode.py).
+        from ..ops.ar_decode import resolve_precision
+
+        precision = resolve_precision(precision, slots // self._n_shards)
         self._precision = precision
         self._greedy = greedy
         self._interpret = interpret
@@ -179,7 +182,7 @@ class ContinuousBatcher:
         self._dispatch_wall = 0.0
         self._cond_cache: Dict[int, Callable] = {}
         self._group_cond_cache: Dict[Tuple[int, int], Callable] = {}
-        self._drain_cache: Dict[Tuple[int, int], Callable] = {}
+        self._drain_cache: Dict[int, Callable] = {}
 
         sf = segment_frames
         hop = self._hop
@@ -453,10 +456,15 @@ class ContinuousBatcher:
 
         # ---- Host-side schedule: FIFO admission into freed slots.
         slots_live: List[Optional[list]] = [None] * s_count
+        # rid -> (slot index, first timeline step, n segments) for reassembly.
+        rid_sched: Dict[int, Tuple[int, int, int]] = {}
+        rid_pos0: Dict[int, int] = {}
         for i, rid, pos, total in inflight:
             slots_live[i] = [rid, i, pos, total]  # [rid, row, pos, total]
             rid_row[rid] = i
             rid_total[rid] = total
+            rid_pos0[rid] = pos
+            rid_sched[rid] = (i, 0, -(-(total - pos) // sf))
         # Longest-first (LPT) admission: the drain completes when the last
         # slot finishes, so scheduling long requests first packs the slot
         # pool near the lower bound of ceil(total_segments / slots) steps
@@ -471,6 +479,7 @@ class ContinuousBatcher:
         rows_t, pos_t, fresh_t = [], [], []
         valid = 0
         while q or any(a is not None for a in slots_live):
+            step_idx = len(rows_t)
             rows = np.full(s_count, -1, np.int32)
             pos = np.zeros(s_count, np.int32)
             fresh = np.zeros(s_count, np.bool_)
@@ -478,6 +487,8 @@ class ContinuousBatcher:
                 if slots_live[i] is None and q:
                     rid, r, total = q.popleft()
                     slots_live[i] = [rid, r, 0, total]
+                    rid_pos0[rid] = 0
+                    rid_sched[rid] = (i, step_idx, -(-total // sf))
                     fresh[i] = True
                 a = slots_live[i]
                 if a is not None:
@@ -496,62 +507,100 @@ class ContinuousBatcher:
         n_steps = len(rows_t)
         _mark(f"schedule ({n_steps} steps)")
 
-        # ---- Output buffer (leading shard axis; each shard writes only
-        # its own slots' request rows, combined by one sum at the end).
-        c_width = self._max_frames * hop
-        out = jnp.zeros((self._n_shards, r_s, c_width), jnp.int32)
-        if self._mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            from ..parallel.mesh import DATA_AXIS
-
-            out = jax.device_put(
-                out, NamedSharding(self._mesh, P(DATA_AXIS, None, None))
-            )
-        per_shard = s_count // self._n_shards
-        for i, rid, pos0, _total in inflight:
-            # Seed the already-decoded prefix so the final fetch returns
-            # the full wave (classes live in the incremental out ring).
-            out = out.at[i // per_shard, rid_row[rid], : pos0 * hop].set(
-                self._out_buf[i, : pos0 * hop]
-            )
-
-        # ---- Execute: a few scan chunks, carries donated in place.
+        # ---- Execute: a few scan chunks. Decoded classes come back as the
+        # scan's stacked per-step output — a (k, slots, sf*hop) timeline
+        # piece per chunk (written once, contiguously; no scatter, no big
+        # carried output buffer). The host-known schedule tells exactly
+        # which chunk finishes which request, so reassembly gathers + async
+        # D2H transfers are issued mid-drain, overlapping later chunks.
         h, prev = self._state.h, self._state.prev
-        offset = 0
+        ys_parts: List[jax.Array] = []
+        timeline: Optional[jax.Array] = None
+        done_steps = 0
+        gathered: set = set()
+        inflight_rids = {rid for _i, rid, _p, _t in inflight}
+
+        def _issue_ready(limit_steps: int) -> None:
+            """Gather + start D2H for every request fully decoded before
+            ``limit_steps`` (timeline rows [0, limit_steps) are available)."""
+            nonlocal timeline
+            ready: Dict[int, List[int]] = {}
+            for rid, (slot, s0, nseg) in rid_sched.items():
+                if rid in gathered or s0 + nseg > limit_steps:
+                    continue
+                if rid in inflight_rids:
+                    ready.setdefault(-rid - 1, []).append(rid)  # singleton
+                else:
+                    ready.setdefault(rid_total[rid], []).append(rid)
+            if not ready:
+                return
+            if timeline is None or timeline.shape[0] < limit_steps:
+                timeline = (
+                    ys_parts[0]
+                    if len(ys_parts) == 1
+                    else jnp.concatenate(ys_parts, axis=0)
+                )
+            for key_, rids in sorted(ready.items()):
+                if key_ < 0:  # in-flight: prefix from the incremental ring
+                    (rid,) = rids
+                    slot, s0, nseg = rid_sched[rid]
+                    pos0, total = rid_pos0[rid], rid_total[rid]
+                    segs = timeline[s0 : s0 + nseg, slot].reshape(1, -1)
+                    dev = jnp.concatenate(
+                        [
+                            self._out_buf[None, slot, : pos0 * hop],
+                            segs[:, : (total - pos0) * hop],
+                        ],
+                        axis=1,
+                    ).astype(self._class_dtype)
+                else:  # same length -> same (nseg,) shape: one bucket gather
+                    total = key_
+                    slots_a = np.asarray(
+                        [rid_sched[r][0] for r in rids], np.int32
+                    )
+                    nseg = rid_sched[rids[0]][2]
+                    steps_a = (
+                        np.asarray([rid_sched[r][1] for r in rids], np.int32)[
+                            :, None
+                        ]
+                        + np.arange(nseg, dtype=np.int32)[None, :]
+                    )  # (n_req, nseg)
+                    dev = (
+                        timeline[steps_a, slots_a[:, None]]
+                        .reshape(len(rids), -1)[:, : total * hop]
+                        .astype(self._class_dtype)
+                    )
+                try:  # overlap D2H with the rest of the drain (best effort)
+                    dev.copy_to_host_async()
+                except Exception:
+                    pass
+                bucket = {"dev": dev, "np": None}
+                for j, rid in enumerate(rids):
+                    self._pending[rid] = ("bucket", bucket, j)
+                    gathered.add(rid)
+
         for k in _chunk_sizes(n_steps):
-            rows_j = jnp.asarray(np.stack(rows_t[offset : offset + k]))
-            pos_j = jnp.asarray(np.stack(pos_t[offset : offset + k]))
-            fresh_j = jnp.asarray(np.stack(fresh_t[offset : offset + k]))
+            rows_j = jnp.asarray(np.stack(rows_t[done_steps : done_steps + k]))
+            pos_j = jnp.asarray(np.stack(pos_t[done_steps : done_steps + k]))
+            fresh_j = jnp.asarray(
+                np.stack(fresh_t[done_steps : done_steps + k])
+            )
             key = jax.random.fold_in(
-                jax.random.key(self._seed), self._step_count + offset
+                jax.random.key(self._seed), self._step_count + done_steps
             )
-            h, prev, out = self._drain_fn(k, r_s)(
-                self._weights, staging, rows_j, pos_j, fresh_j,
-                h, prev, out, key,
+            h, prev, ys = self._drain_fn(k)(
+                self._weights, staging, rows_j, pos_j, fresh_j, h, prev, key
             )
-            offset += k
+            ys_parts.append(ys)
+            done_steps += k
+            _issue_ready(done_steps)
 
-        _mark("drain chunks", out)
-        classes = out[0] if self._n_shards == 1 else out.sum(axis=0)
+        _mark("drain chunks", h)
+        assert len(gathered) == len(rid_sched), "drain left requests behind"
 
-        # ---- Compacted lazy results: group requests by length, gather
-        # each group's rows into a 1-byte class buffer (~valid bytes only,
-        # ~10x less D2H than the full f32 wave buffer). The buffers stay
-        # on device; result() fetches a request's bucket once and expands
-        # through the device-exact mu-law table.
-        by_len: Dict[int, List[int]] = {}
-        for rid in rid_row:
-            by_len.setdefault(rid_total[rid], []).append(rid)
-        for total, rids in sorted(by_len.items()):
-            rows = jnp.asarray([rid_row[r] for r in rids], jnp.int32)
-            bucket = {
-                "dev": classes[rows, : total * hop].astype(self._class_dtype),
-                "np": None,
-            }
-            for j, rid in enumerate(rids):
-                self._pending[rid] = ("bucket", bucket, j)
         # "Drain complete" = every class computed on device (the raw-kernel
-        # benchmarks use the same boundary); D2H happens in result().
+        # benchmarks use the same boundary); D2H finishes in result() —
+        # usually already in flight thanks to the mid-drain async copies.
         jax.block_until_ready([e[1]["dev"] for e in self._pending.values()
                                if isinstance(e, tuple) and e[0] == "bucket"])
         _mark("to-device")
@@ -584,14 +633,18 @@ class ContinuousBatcher:
             self._group_cond_cache[key] = jax.jit(cond)
         return self._group_cond_cache[key]
 
-    def _drain_fn(self, k: int, r_s: int) -> Callable:
-        """Compiled K-step drain chunk, cached per (K, staging rows)."""
-        cache_key = (k, r_s)
-        if cache_key in self._drain_cache:
-            return self._drain_cache[cache_key]
+    def _drain_fn(self, k: int) -> Callable:
+        """Compiled K-step drain chunk, cached per K.
+
+        Returns ``(h, prev, timeline)`` with ``timeline`` the scan's native
+        stacked per-step output, shape (K, slots, sf*hop) — each step's
+        classes written once, contiguously (no scatter, no carried output
+        buffer; the round-2 windowed-scatter form cost ~23% of the raw
+        kernel throughput)."""
+        if k in self._drain_cache:
+            return self._drain_cache[k]
 
         sf = self._segment_frames
-        hop = self._hop
         proj3h = self._proj3h
         conf = self._conf
         greedy, precision, interpret = (
@@ -599,12 +652,16 @@ class ContinuousBatcher:
         )
         n_mid = self._n_mid
 
-        def chunk(weights, staging, rows_t, pos_t, fresh_t, h, prev, out, key):
+        def chunk(weights, staging, rows_t, pos_t, fresh_t, h, prev, key):
+            r_s = staging.shape[0]
+
             def body(carry, inp):
-                h, prev, out = carry
+                h, prev = carry
                 rows, pos, fresh, kk = inp
                 h = jnp.where(fresh[:, None], 0.0, h)
                 prev = jnp.where(fresh, n_mid, prev)
+                # Idle slots carry row -1: clip to a valid row; their
+                # samples are simply never reassembled into any request.
                 safe_rows = jnp.clip(rows, 0, r_s - 1)
                 seg = jax.vmap(
                     lambda r, p: jax.lax.dynamic_slice(
@@ -615,23 +672,16 @@ class ContinuousBatcher:
                     weights, conf, seg, DecodeState(h=h, prev=prev), kk,
                     greedy=greedy, precision=precision, interpret=interpret,
                 )
-                # Idle slots carry row -1 -> out-of-bounds -> dropped.
-                idx = jnp.stack([rows, pos * hop], axis=1)
-                out0 = jax.lax.scatter(
-                    out[0], idx, mulaw_seg, _SCATTER_DNUMS,
-                    indices_are_sorted=False, unique_indices=False,
-                    mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
-                )
-                return (new_state.h, new_state.prev, out0[None]), None
+                return (new_state.h, new_state.prev), mulaw_seg
 
             keys = jax.random.split(key, k)
-            (h, prev, out), _ = jax.lax.scan(
-                body, (h, prev, out), (rows_t, pos_t, fresh_t, keys)
+            (h, prev), ys = jax.lax.scan(
+                body, (h, prev), (rows_t, pos_t, fresh_t, keys)
             )
-            return h, prev, out
+            return h, prev, ys
 
         if self._mesh is None:
-            fn = jax.jit(chunk, donate_argnums=(5, 6, 7))
+            fn = jax.jit(chunk, donate_argnums=(5, 6))
         else:
             from jax.sharding import PartitionSpec as P
             from ..parallel.mesh import DATA_AXIS
@@ -639,12 +689,12 @@ class ContinuousBatcher:
             dp, rep = P(DATA_AXIS), P()
 
             def shard_chunk(weights, staging, rows_t, pos_t, fresh_t,
-                            h, prev, out, key):
+                            h, prev, key):
                 key = jax.random.fold_in(
                     key, jax.lax.axis_index(DATA_AXIS)
                 )
                 return chunk(weights, staging, rows_t, pos_t, fresh_t,
-                             h, prev, out, key)
+                             h, prev, key)
 
             mapped = jax.shard_map(
                 shard_chunk,
@@ -653,13 +703,13 @@ class ContinuousBatcher:
                     rep, rep,
                     P(None, DATA_AXIS), P(None, DATA_AXIS),
                     P(None, DATA_AXIS),
-                    dp, dp, P(DATA_AXIS, None, None), rep,
+                    dp, dp, rep,
                 ),
-                out_specs=(dp, dp, P(DATA_AXIS, None, None)),
+                out_specs=(dp, dp, P(None, DATA_AXIS, None)),
                 check_vma=False,
             )
-            fn = jax.jit(mapped, donate_argnums=(5, 6, 7))
-        self._drain_cache[cache_key] = fn
+            fn = jax.jit(mapped, donate_argnums=(5, 6))
+        self._drain_cache[k] = fn
         return fn
 
     # ------------------------------------------------------------ internals

@@ -55,6 +55,23 @@ from ..models.vocoder import VocoderParams
 from .quant import quantize_int8
 
 
+# Measured int8-vs-bf16 crossover (v5e, bench.py int8_speedup_b*): below
+# this batch the step is MXU-latency-bound and the int8 dequant epilogue is
+# pure overhead (0.90-0.96x at b8-b32); at and above it the MXU saturates
+# and int8's 2x throughput wins (1.08x at b64, 1.32x at b128). "auto"
+# precision picks per batch so no caller silently gets the slower mode.
+INT8_CROSSOVER_BATCH = 64
+
+
+def resolve_precision(precision: str, batch: int) -> str:
+    """Resolve "auto" to the faster of bf16/int8 for this decode batch."""
+    if precision == "auto":
+        return "int8" if batch >= INT8_CROSSOVER_BATCH else "bf16"
+    if precision not in ("bf16", "int8"):
+        raise ValueError(f"unknown decode precision: {precision!r}")
+    return precision
+
+
 def _mm(x_f32, w_ref, scale_ref, use_int8: bool):
     """(B, in) f32 @ weight ref -> (B, out) f32, bf16 or weight-only int8.
 
@@ -474,12 +491,14 @@ def fused_ar_decode(
     """Full voice-conversion decode with the fused kernel.
 
     Same contract as models.vocoder.vocoder_generate: codes + speaker ->
-    linear waveform (B, T) in [-1, 1]. ``precision``: "bf16" or "int8"
-    (weight-only quantized matmuls).
+    linear waveform (B, T) in [-1, 1]. ``precision``: "bf16", "int8"
+    (weight-only quantized matmuls) or "auto" (int8 iff the batch is at or
+    past the measured crossover, INT8_CROSSOVER_BATCH).
     """
     from ..dsp.mulaw import mulaw_decode
     from ..models.vocoder import build_conditioning_frames
 
+    precision = resolve_precision(precision, z_indices.shape[0])
     n_classes = 2 ** conf.rnnms.bits_mu_law
     hidden = conf.rnnms.wave_ar.size_h_rnn
     use_int8 = precision == "int8"
