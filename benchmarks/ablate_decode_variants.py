@@ -22,11 +22,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-H, CLASSES, CHUNK, T = 896, 256, 64, 16384
+H, CLASSES, T = 896, 256, 16384
 H3 = 3 * H
 
 
-def make_kernel(B, unroll, int8_wh, int8_embed, int8_fc1, bf16_h):
+def _chunk_for(B: int) -> int:
+    # Sample-rate cond blocks are double-buffered: keep 2*CHUNK*B*H3*2
+    # bytes within ~6 MiB of scoped VMEM (B=32 at CHUNK=64 OOMs at 22 MiB).
+    c = 64
+    while c > 4 and 2 * c * B * H3 * 2 > (6 << 20):
+        c //= 2
+    return c
+
+
+def make_kernel(B, CHUNK, unroll, int8_wh, int8_embed, int8_fc1, bf16_h):
     h_dtype = jnp.bfloat16 if bf16_h else jnp.float32
 
     def mm(x, w_ref, s_ref, use_int8):
@@ -111,7 +120,8 @@ def run(B, unroll=1, int8_wh=False, int8_embed=False, int8_fc1=False,
     wh, wh_s = prep(wh_f, int8_wh)
     fc1, f1_s = prep(fc1_f, int8_fc1)
 
-    kernel, h_dtype = make_kernel(B, unroll, int8_wh, int8_embed, int8_fc1, bf16_h)
+    CHUNK = _chunk_for(B)
+    kernel, h_dtype = make_kernel(B, CHUNK, unroll, int8_wh, int8_embed, int8_fc1, bf16_h)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T // CHUNK,),
@@ -174,6 +184,15 @@ if __name__ == "__main__":
             run(B, unroll=2)
             run(B, unroll=8)
             run(B, bf16_h=True)
+    elif sel == "b32x":
+        run(32)
+        run(32, **I8)
+        run(32, int8_wh=True)
+        run(32, int8_embed=True)
+        run(32, int8_fc1=True)
+        run(32, unroll=4)
+        run(32, unroll=4, **I8)
+        run(32, int8_wh=True, int8_embed=True)
     elif sel == "b64":
         for B in (48, 64):
             run(B)

@@ -169,3 +169,20 @@ def test_int8_decode_close_to_bf16(setup, rng):
     # divergence point (scan == bf16 kernel prefix-exact per the greedy
     # parity test above).
     _assert_prefix_parity(w8, ref_scan, logits, max_gap=0.25)
+
+
+def test_resolve_precision_auto_crossover():
+    """"auto" must resolve to the faster mode per the measured crossover
+    (int8 loses in the latency-bound regime below INT8_CROSSOVER_BATCH)
+    and reject unknown modes."""
+    from vectorquantizedcpc_tpu.ops.ar_decode import (
+        INT8_CROSSOVER_BATCH,
+        resolve_precision,
+    )
+
+    assert resolve_precision("auto", INT8_CROSSOVER_BATCH) == "int8"
+    assert resolve_precision("auto", INT8_CROSSOVER_BATCH - 1) == "bf16"
+    assert resolve_precision("bf16", 1) == "bf16"
+    assert resolve_precision("int8", 1) == "int8"
+    with pytest.raises(ValueError, match="precision"):
+        resolve_precision("fp8", 64)

@@ -118,38 +118,37 @@ def cpc_apply_with_indices(
         same_t = seq_index == jnp.arange(length)
         seq_index = jnp.where(same_utt & same_t, (seq_index + 1) % length, seq_index)
 
-    # Two-stage one-hot MXU gather. XLA's vector gather runs at ~10-20 GB/s
-    # on TPU (xprof: it alone was 4.2 ms/step at reference shape);
-    # selection-by-0/1-matmul runs at MXU/HBM speed. It is BIT-exact
-    # (single nonzero per row; tests/test_cpc.py): natively for bf16, and
-    # via precision="float32" (exact 3xbf16 operand split) for f32. Its
-    # gradient is an einsum (MXU) instead of a scatter-add.
-    prec = "float32" if z.dtype != jnp.bfloat16 else None
-    onehot_u = (utt_index[..., None] == jnp.arange(u)).astype(z.dtype)
-    z_utt = jnp.einsum(
-        "kunv,ksvmz->ksunmz",
-        onehot_u,
-        z_shift,
-        precision=prec,
-        preferred_element_type=z.dtype,
-    )  # (K, S, U, Neg, L, Z)
-    onehot_t = (seq_index[..., None] == jnp.arange(length)).astype(z.dtype)
-    z_negatives = jnp.einsum(
-        "ksunlm,ksunmz->ksunlz",
-        onehot_t,
-        z_utt,
-        precision=prec,
-        preferred_element_type=z.dtype,
-    )
+    # ---- Scores FIRST, then one-hot selection of SCALARS. ----------------
+    # Round 2 gathered the negatives' z VECTORS with two one-hot einsums
+    # (materializing two (K,S,U,Neg,L,Z) tensors, ~43 MB each) and reduced
+    # them against wc elementwise — together >1 ms/step of HBM-bound work
+    # at reference shape. Instead: ONE batched MXU matmul scores every
+    # anchor against every within-speaker candidate frame (sim is ~1.6
+    # GFLOP — microseconds), and the negative selection contracts the
+    # one-hots against sim SCORES (scalars, not 64-vectors): stage g1
+    # contracts the time one-hot over M, stage f_neg the utterance one-hot
+    # over V. No (...,Z) negative tensor ever exists, and the backward is
+    # two clean (512, 512) @ (512, 64)-class matmuls into d_wc / d_z.
+    # Selection by 0/1 contraction is exact in f32 (sim is f32), and a
+    # plain fancy-index gather is NOT an option here: XLA's TPU gather ran
+    # this shape at ~13 ms/step when tried.
+    sim = jnp.einsum(
+        "ksulz,ksvmz->ksulvm",
+        wc,
+        z_shift.astype(wc.dtype),
+        preferred_element_type=jnp.float32,
+    )  # (K, S, U, L, V, M): anchor (u, l) x same-speaker candidate (v, m)
+    onehot_t = (seq_index[..., None] == jnp.arange(length)).astype(sim.dtype)
+    g1 = jnp.einsum(
+        "ksulvm,ksunlm->ksunlv", sim, onehot_t
+    )  # (K, S, U, Neg, L, V): time-selected scores, all utterances
+    onehot_u = (utt_index[..., None] == jnp.arange(u)).astype(sim.dtype)
+    f_neg = jnp.einsum("ksunlv,kunv->ksunl", g1, onehot_u)
 
-    # ---- Similarities and InfoNCE. ---------------------------------------
-    # Score positives/negatives separately and concatenate the SCORES: a
-    # (K, S, U, 1+Neg, L, Z) value concat would move ~56 MB per direction
-    # (its transpose is a split — xprof: 1.8 ms/step at reference shape).
+    # Positive scores: the elementwise diagonal (z_shift is already the
+    # (k-shifted) positive series) — cheap, and keeps f_pos's accumulation
+    # order identical to round 2's (lockstep-parity tested).
     f_pos = jnp.sum(z_shift * wc, axis=-1)  # (K, S, U, L)
-    f_neg = jnp.sum(
-        z_negatives * wc[:, :, :, None, :, :], axis=-1
-    )  # (K, S, U, Neg, L)
     f = jnp.concatenate(
         [f_pos[:, :, :, None, :], f_neg], axis=3
     ) / math.sqrt(z_dim)
@@ -158,8 +157,21 @@ def cpc_apply_with_indices(
     # Positive is always class 0 (ordering of the concat above).
     log_probs = jax.nn.log_softmax(f, axis=2)
     loss_per_k = -jnp.mean(log_probs[:, :, 0, :], axis=(1, 2))  # (K,)
+    # Accuracy with a rounding-tolerant tie-break. z is QUANTIZED, so a
+    # negative frequently lands on the positive's exact codeword — an
+    # exact score tie, which the reference's argmax counts as correct
+    # (first index wins, torch.argmax semantics; model.py:307-312). Here
+    # f_pos (elementwise reduce) and f_neg (sim matmul) accumulate in
+    # different orders, so a true tie can differ by ~1 ulp and a plain
+    # argmax would break ~half such ties toward the negative, deflating
+    # the metric by the code-collision rate (measured ~0.25 early in
+    # training). The epsilon only affects the reported metric, not the
+    # loss/gradients; for non-degenerate scores P(|gap| < eps) ~ 0.
+    tol = 1e-5 * (1.0 + jnp.abs(f[:, :, :1, :]))
     accuracies = jnp.mean(
-        (jnp.argmax(f, axis=2) == 0).astype(jnp.float32), axis=(1, 2)
+        (f[:, :, :1, :] + tol >= jnp.max(f[:, :, 1:, :], axis=2, keepdims=True))
+        .astype(jnp.float32),
+        axis=(1, 2, 3),
     )  # (K,)
 
     return jnp.mean(loss_per_k), accuracies

@@ -82,12 +82,23 @@ def _frontend(
 ) -> jax.Array:
     """Conv + SegFC: (B, Freq, T) -> pre-VQ latents (B, T//2, z_dim)."""
     x = jnp.swapaxes(mels, 1, 2).astype(compute_dtype)  # (B, T, F) NWC
-    x = jax.lax.conv_general_dilated(
-        x,
-        params.conv_w.astype(compute_dtype),
-        window_strides=(2,),
-        padding=[(1, 1)],
-        dimension_numbers=("NWC", "WIO", "NWC"),
+    # The k4/s2/p1 conv as unfold + ONE (B*T', 4F) @ (4F, C) MXU matmul.
+    # XLA's conv lowering leaves this shape (F=80 channels, T~140) ~40x off
+    # peak (xprof: 0.89 ms/step of a 4.3 ms CPC train step); the unfold is
+    # four strided slices (cheap copies) and the matmul tiles perfectly.
+    # Identical math incl. odd-T handling: T' = floor(T/2) with the true
+    # final sample in-window (reference model.py:43; infer/encode.py).
+    t_out = x.shape[1] // 2
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+    cols = jnp.concatenate(
+        [
+            jax.lax.slice_in_dim(xp, j, j + 2 * (t_out - 1) + 1, 2, axis=1)
+            for j in range(4)
+        ],
+        axis=-1,
+    )  # (B, T', 4F), window-position-major like conv_w's W axis
+    x = cols @ params.conv_w.astype(compute_dtype).reshape(
+        -1, params.conv_w.shape[-1]
     )
     x = _layer_norm(x, params.ln_in_scale, params.ln_in_bias)
     x = jax.nn.relu(x)
