@@ -150,3 +150,56 @@ def test_gru_scan_custom_vjp_matches_autodiff(rng):
     )(params.wh, params.bh, xproj, h0)
     for a, b in zip(g_ref, g_new):
         np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-6)
+
+
+def test_fused_lstm_scan_matches_scan(rng):
+    """Pallas fused LSTM (interpret mode) vs the lax.scan path: forward and
+    gradients agree to bf16 carry precision (the kernel carries h/c in f32,
+    the bf16 scan in bf16 — both within bf16 noise of the exact result),
+    and both stay within bf16 tolerance of the f32 scan ground truth."""
+    from vectorquantizedcpc_tpu.ops.lstm_scan import fused_lstm_scan
+
+    B, T, D, H = 4, 22, 8, 32  # T=22 -> chunk 11, exercises multi-chunk
+    params = lstm_init(jax.random.key(0), D, H)
+    x32 = rng.normal(size=(B, T, D)).astype(np.float32) * 0.5
+    x = jnp.asarray(x32, jnp.bfloat16)
+
+    out_scan, (h_s, c_s) = lstm_apply(params, x)
+    out_pal, (h_p, c_p) = lstm_apply(params, x, use_pallas=True, interpret=True)
+    out_f32, _ = lstm_apply(params, jnp.asarray(x32))
+    assert out_pal.dtype == out_scan.dtype
+    np.testing.assert_allclose(
+        np.asarray(out_pal, np.float32), np.asarray(out_scan, np.float32),
+        atol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pal, np.float32), np.asarray(out_f32), atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_p, np.float32), np.asarray(h_s, np.float32), atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_p, np.float32), np.asarray(c_s, np.float32), atol=4e-2
+    )
+
+    def loss(p, pallas):
+        o, _ = lstm_apply(p, x, use_pallas=pallas, interpret=True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g_scan = jax.grad(lambda p: loss(p, False))(params)
+    g_pal = jax.grad(lambda p: loss(p, True))(params)
+    for name in ("wx", "wh", "b"):
+        a = np.asarray(getattr(g_scan, name), np.float32)
+        b = np.asarray(getattr(g_pal, name), np.float32)
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-2)
+
+
+def test_fused_lstm_f32_inputs_keep_scan_path():
+    """use_pallas is honored only for bf16 compute; f32 callers (CPU /
+    torch-golden parity) must get the bit-identical scan result."""
+    params = lstm_init(jax.random.key(1), 8, 16)
+    x = jnp.ones((2, 6, 8), jnp.float32)
+    a, _ = lstm_apply(params, x)
+    b, _ = lstm_apply(params, x, use_pallas=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -183,6 +183,7 @@ class ContinuousBatcher:
         self._cond_cache: Dict[int, Callable] = {}
         self._group_cond_cache: Dict[Tuple[int, int], Callable] = {}
         self._drain_cache: Dict[int, Callable] = {}
+        self._gather_cache: Dict[int, Callable] = {}
 
         sf = segment_frames
         hop = self._hop
@@ -565,10 +566,11 @@ class ContinuousBatcher:
                         ]
                         + np.arange(nseg, dtype=np.int32)[None, :]
                     )  # (n_req, nseg)
-                    dev = (
-                        timeline[steps_a, slots_a[:, None]]
-                        .reshape(len(rids), -1)[:, : total * hop]
-                        .astype(self._class_dtype)
+                    # One jitted dispatch per bucket (gather + trim + cast
+                    # fused) — eager op chains cost one tunneled dispatch
+                    # EACH, which is what they'd add between drain chunks.
+                    dev = self._bucket_gather(total)(
+                        timeline, jnp.asarray(steps_a), jnp.asarray(slots_a)
                     )
                 try:  # overlap D2H with the rest of the drain (best effort)
                     dev.copy_to_host_async()
@@ -579,6 +581,12 @@ class ContinuousBatcher:
                     self._pending[rid] = ("bucket", bucket, j)
                     gathered.add(rid)
 
+        # Dispatch order: the NEXT chunk is always enqueued before the
+        # previous chunks' reassembly gathers, so the device never idles
+        # waiting on host-side gather/copy bookkeeping (each host->device
+        # dispatch costs ~ms on a tunneled link); the gathers still overlap
+        # the remaining chunks' execution on-stream.
+        prev_done = 0
         for k in _chunk_sizes(n_steps):
             rows_j = jnp.asarray(np.stack(rows_t[done_steps : done_steps + k]))
             pos_j = jnp.asarray(np.stack(pos_t[done_steps : done_steps + k]))
@@ -592,8 +600,9 @@ class ContinuousBatcher:
                 self._weights, staging, rows_j, pos_j, fresh_j, h, prev, key
             )
             ys_parts.append(ys)
-            done_steps += k
-            _issue_ready(done_steps)
+            prev_done, done_steps = done_steps, done_steps + k
+            _issue_ready(prev_done)
+        _issue_ready(done_steps)
 
         _mark("drain chunks", h)
         assert len(gathered) == len(rid_sched), "drain left requests behind"
@@ -632,6 +641,21 @@ class ContinuousBatcher:
 
             self._group_cond_cache[key] = jax.jit(cond)
         return self._group_cond_cache[key]
+
+    def _bucket_gather(self, total: int) -> Callable:
+        """Jitted bucket reassembly: timeline (T, slots, sf*hop) +
+        (n_req, nseg) step table + (n_req,) slot table -> (n_req,
+        total*hop) classes in the compact fetch dtype."""
+        if total not in self._gather_cache:
+            hop, cd = self._hop, self._class_dtype
+
+            @jax.jit
+            def g(timeline, steps, slots):
+                out = timeline[steps, slots[:, None]]
+                return out.reshape(out.shape[0], -1)[:, : total * hop].astype(cd)
+
+            self._gather_cache[total] = g
+        return self._gather_cache[total]
 
     def _drain_fn(self, k: int) -> Callable:
         """Compiled K-step drain chunk, cached per K.

@@ -115,6 +115,7 @@ def encoder_encode(
     mel: jax.Array,
     compute_dtype: jnp.dtype = jnp.float32,
     return_pre_vq: bool = False,
+    use_pallas: bool = False,
 ):
     """Inference path (reference model.py:59-70).
 
@@ -128,7 +129,7 @@ def encoder_encode(
     """
     z_pre = _frontend(params, mel, compute_dtype)
     z, indices = vq_encode(vq_state, z_pre.astype(jnp.float32))
-    c, _ = lstm_apply(params.rnn, z.astype(compute_dtype))
+    c, _ = lstm_apply(params.rnn, z.astype(compute_dtype), use_pallas=use_pallas)
     if return_pre_vq:
         return z, c.astype(jnp.float32), indices, z_pre.astype(jnp.float32)
     return z, c.astype(jnp.float32), indices
@@ -139,6 +140,7 @@ def encoder_forward(
     vq_state: VQEMAState,
     mels: jax.Array,
     compute_dtype: jnp.dtype = jnp.float32,
+    use_pallas: bool = False,
 ):
     """Training path (reference model.py:72-86).
 
@@ -148,5 +150,5 @@ def encoder_forward(
     z, new_vq_state, vq_loss, perplexity = vq_apply_train(
         vq_state, z_pre.astype(jnp.float32)
     )
-    c, _ = lstm_apply(params.rnn, z.astype(compute_dtype))
+    c, _ = lstm_apply(params.rnn, z.astype(compute_dtype), use_pallas=use_pallas)
     return z, c.astype(jnp.float32), new_vq_state, vq_loss, perplexity

@@ -62,12 +62,21 @@ def lstm_apply(
     x: jax.Array,
     state: Optional[Tuple[jax.Array, jax.Array]] = None,
     unroll: int = 8,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Run an LSTM over ``x`` of shape (B, T, D).
 
     Returns (outputs (B, T, H), final (h, c)). Semantics match
     torch.nn.LSTM(batch_first=True) with zero initial state (reference
     model.py:57,69,86).
+
+    ``use_pallas`` routes the recurrence through the fused Pallas kernel
+    (ops/lstm_scan.py: whole sequence in one kernel launch, fwd + custom
+    bwd) — honored only for bfloat16 compute (the kernel's native
+    precision; f32 callers — CPU tests, torch-golden parity — keep the
+    scan) and only sensible in UNSHARDED jit programs (a pallas_call has
+    no GSPMD partitioning rule; sharded trainers pass mesh and keep scan).
     """
     b, t, _ = x.shape
     h_dim = params.wh.shape[0]
@@ -85,6 +94,17 @@ def lstm_apply(
     # Hoisted input projection: one big MXU matmul over all timesteps.
     xproj = x @ wx + bias  # (B, T, 4H)
     xproj = jnp.swapaxes(xproj, 0, 1)  # (T, B, 4H) scan-major
+
+    if use_pallas and x.dtype == jnp.bfloat16:
+        from ..ops.lstm_scan import fused_lstm_scan
+
+        hs, h_t, c_t = fused_lstm_scan(
+            params.wh, xproj, state[0], state[1], interpret
+        )
+        return (
+            jnp.swapaxes(hs, 0, 1),
+            (h_t.astype(x.dtype), c_t.astype(x.dtype)),
+        )
 
     def step(carry, xp_t):
         h, c = carry

@@ -94,6 +94,13 @@ def make_train_step(conf: ConfGlobal, mesh=None, inject_negatives: bool = False)
     u = cpc_conf.n_utterances_per_speaker
     compute_dtype = jnp.dtype(conf.runtime.precision)
     optimizer = make_optimizer()
+    # Fused Pallas LSTM: unsharded TPU programs only (a pallas_call has no
+    # GSPMD partitioning rule; with a mesh the scan path stays).
+    use_pallas = (
+        mesh is None
+        and conf.runtime.use_pallas
+        and jax.default_backend() == "tpu"
+    )
 
     def step(state: CPCTrainState, mels: jax.Array, rng, lr: jax.Array):
         # (Spk, Utt, Freq, T) -> (Spk*Utt, Freq, T): flatten like the
@@ -102,7 +109,8 @@ def make_train_step(conf: ConfGlobal, mesh=None, inject_negatives: bool = False)
 
         def loss_fn(params):
             z, c, new_vq, vq_loss, perplexity = encoder_forward(
-                params["enc"], state.vq, mels_flat, compute_dtype
+                params["enc"], state.vq, mels_flat, compute_dtype,
+                use_pallas=use_pallas,
             )
             if inject_negatives:
                 cpc_loss, accuracies = cpc_apply_with_indices(
@@ -179,6 +187,11 @@ def make_train_epoch(conf: ConfGlobal, mesh=None):
     u = cpc_conf.n_utterances_per_speaker
     compute_dtype = jnp.dtype(conf.runtime.precision)
     optimizer = make_optimizer()
+    use_pallas = (
+        mesh is None
+        and conf.runtime.use_pallas
+        and jax.default_backend() == "tpu"
+    )
 
     def one_step(carry, inputs):
         state, lr = carry
@@ -187,7 +200,8 @@ def make_train_epoch(conf: ConfGlobal, mesh=None):
 
         def loss_fn(params):
             z, c, new_vq, vq_loss, perplexity = encoder_forward(
-                params["enc"], state.vq, mels_flat, compute_dtype
+                params["enc"], state.vq, mels_flat, compute_dtype,
+                use_pallas=use_pallas,
             )
             cpc_loss, accuracies = cpc_apply(
                 params["cpc"], cpc_conf, z, c, rng,
