@@ -10,7 +10,8 @@ tarepan/VectorQuantizedCPC (reference layout documented in SURVEY.md):
 - ``models``    — Encoder / VQ-EMA / CPC loss / RNN_MS vocoder
                   (reference: model.py, network_vocoder.py)
 - ``ops``       — Pallas TPU kernels: fused AR GRU decode (VMEM-resident
-                  weights/state, on-core sampling), INT8 weight-only
+                  weights/state, on-core sampling), fused LSTM scan for CPC
+                  training (fwd + custom backward), INT8 weight-only
                   quantization (VQ nearest-neighbour stays on the XLA path —
                   a hand-written kernel measured no faster and was removed)
 - ``parallel``  — device mesh, named shardings, DP/TP partitioning
