@@ -246,13 +246,13 @@ def main() -> None:
 
         hop = net.rnnms.upsampling_t
         buckets = [25, 50, 100]
-        # segment_frames=8: finest retirement quantization wastes the
-        # least decode on each stream's final partial segment (sweep:
-        # benchmarks/sweep_serving.py — 9.4M at sf=8 vs 8.0M at sf=16 vs
-        # 8.6M at sf=32 for slots=32; larger pools lose, the 48-request
-        # mix can't keep them full).
+        # segment_frames=4: finest retirement quantization wastes the
+        # least decode on each stream's final partial segment, and the
+        # segment kernel has NO launch overhead down to sf=4
+        # (benchmarks/dissect_drain2.py: 1.98 us/step at sf=4 vs 1.99
+        # monolithic — r4 measurement superseding the r3 sf=8 sweep).
         server = ContinuousBatcher(
-            params, net, slots=32, segment_frames=8,
+            params, net, slots=32, segment_frames=4,
             max_frames=2 * max(buckets) + 32,
         )
         reqs = [
@@ -294,6 +294,43 @@ def main() -> None:
             3,
         )
 
+        # In-process RTT-amortized ratio (VERDICT r3 #1): one blocked sync
+        # on this tunneled link costs ~25 ms — comparable to an entire
+        # drain — so the per-rep-blocked numbers above under-report BOTH
+        # sides by a link-dependent amount. Here 3 drains (and 3 raw b32
+        # kernel decodes) are enqueued back-to-back with ONE final sync
+        # each, in the same capture, so the ratio reflects device work
+        # only and tunnel drift can't masquerade as a serving regression.
+        from vectorquantizedcpc_tpu.ops.ar_decode import fused_ar_decode
+
+        n_pipe = 3
+        t0 = time.time()
+        for rep in range(n_pipe):
+            for z_, s_ in reqs:
+                server.submit(z_, s_)
+            server.run(materialize=False, wait=(rep == n_pipe - 1))
+            server._pending.clear()
+            server._results.clear()
+        serving_pipe = n_pipe * valid / (time.time() - t0)
+        result["serving_pipelined_samples_per_s"] = round(serving_pipe)
+        z32 = jnp.asarray(
+            rng.integers(0, net.size_i_codebook, size=(32, n_frames))
+        )
+        spk32 = jnp.asarray(rng.integers(0, net.n_speakers, size=(32,)))
+        decode32 = jax.jit(
+            lambda key: fused_ar_decode(params, net, z32, spk32, key)
+        )
+        jax.block_until_ready(decode32(jax.random.key(0)))
+        t0 = time.time()
+        for i in range(n_pipe):
+            out32 = decode32(jax.random.key(i + 1))
+        jax.block_until_ready(out32)
+        kernel_pipe = n_pipe * 32 * t_decode / (time.time() - t0)
+        result["decode_bf16_b32_pipelined_samples_per_s"] = round(kernel_pipe)
+        result["serving_vs_b32_kernel_inproc"] = round(
+            serving_pipe / kernel_pipe, 3
+        )
+
         # int8 serving point: 64 slots is at int8's measured crossover
         # (int8_speedup_b64 > 1), so "auto" resolves to int8 there; a bf16
         # run of the SAME 96-request workload gives the within-run ratio.
@@ -309,7 +346,7 @@ def main() -> None:
         valid96 = sum(2 * len(z_) * hop for z_, _ in reqs96)
         for prec_tag, prec in (("int8", "auto"), ("bf16", "bf16")):
             server64 = ContinuousBatcher(
-                params, net, slots=64, segment_frames=8,
+                params, net, slots=64, segment_frames=4,
                 max_frames=2 * max(buckets) + 32, precision=prec,
             )
             if prec_tag == "int8" and server64._precision != "int8":
@@ -445,18 +482,50 @@ def main() -> None:
 
         enc_params, vq_state = encoder_init(jax.random.key(0), conf.model.encoder)
         b, t = 64, 1024
+        use_pallas = jax.default_backend() == "tpu"
         mels_inf = jnp.asarray(rng.normal(size=(b, 80, t)).astype(np.float32))
         enc_fn = jax.jit(
-            lambda m: encoder_encode(enc_params, vq_state, m, jnp.bfloat16)[2]
+            lambda m: encoder_encode(
+                enc_params, vq_state, m, jnp.bfloat16, use_pallas=use_pallas
+            )[2]
         )
         # Plenty of reps: a single call is ~ms-scale, so per-dispatch tunnel
         # latency dominates small-n means (observed 2x run-to-run swings).
         dt = _bench(lambda i: enc_fn(mels_inf), n_rep=30)
-        result["encoder_frames_per_s"] = round(b * t / dt)
+        result["encoder_frames_per_s_single_call"] = round(b * t / dt)
+        # Steady-state corpus-encoding throughput: this backend charges
+        # ~1 ms of launch overhead PER PROGRAM (measured: standalone
+        # component timings sum to ~2x the fused whole;
+        # benchmarks/profile_encoder_infer.py) — which at ~2 ms of real
+        # compute/call makes the single-call number mostly launch
+        # overhead, and is why BENCH_r02/r03 swung 42M->25M without a code
+        # cause. A 4-batch lax.scan in one program amortizes it; this is
+        # the realistic boundary for offline corpus encoding (many batches
+        # back-to-back) and the primary reported number.
+        n_scan = 4
+        mels_scan = jnp.asarray(
+            rng.normal(size=(n_scan, b, 80, t)).astype(np.float32)
+        )
+        enc_scan = jax.jit(
+            lambda ms: jax.lax.scan(
+                lambda _c, m: (
+                    0,
+                    encoder_encode(
+                        enc_params, vq_state, m, jnp.bfloat16,
+                        use_pallas=use_pallas,
+                    )[2],
+                ),
+                0,
+                ms,
+            )[1]
+        )
+        dt_scan = _bench(lambda i: enc_scan(mels_scan), n_rep=8) / n_scan
+        result["encoder_frames_per_s"] = round(b * t / dt_scan)
         peak = _PEAK_FLOPS.get(result["device"], {}).get("bf16")
         if peak:
             result["encoder_mfu"] = round(
-                _encoder_fwd_flops(conf.model.encoder, b, t) / dt / peak, 3
+                _encoder_fwd_flops(conf.model.encoder, b, t) / dt_scan / peak,
+                3,
             )
     except Exception:
         errors.append("encoder: " + traceback.format_exc(limit=2))

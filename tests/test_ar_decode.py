@@ -172,16 +172,35 @@ def test_int8_decode_close_to_bf16(setup, rng):
 
 
 def test_resolve_precision_auto_crossover():
-    """"auto" must resolve to the faster mode per the measured crossover
-    (int8 loses in the latency-bound regime below INT8_CROSSOVER_BATCH)
-    and reject unknown modes."""
+    """"auto" must resolve to the mode with the lower measured per-step
+    kernel time at the requested batch — the Pareto-dominant choice for
+    both throughput and per-stream RTF (VERDICT r3 #6: auto must never
+    pick a mode that breaches an RTF budget the other mode meets) — and
+    reject unknown modes."""
     from vectorquantizedcpc_tpu.ops.ar_decode import (
         INT8_CROSSOVER_BATCH,
+        _STEP_US,
+        _interp_step_us,
         resolve_precision,
     )
 
+    # Measured regimes: int8 loses in the latency-bound small-batch regime,
+    # wins once the MXU saturates.
+    assert resolve_precision("auto", 8) == "bf16"
+    assert resolve_precision("auto", 32) == "bf16"
     assert resolve_precision("auto", INT8_CROSSOVER_BATCH) == "int8"
-    assert resolve_precision("auto", INT8_CROSSOVER_BATCH - 1) == "bf16"
+    assert resolve_precision("auto", 128) == "int8"
+    # Pareto property: at every batch, auto's step time (== RTF/62.5 at
+    # 16 kHz) is <= both modes' — so it cannot breach an RTF budget the
+    # other mode would meet.
+    for batch in (1, 8, 16, 32, 48, 64, 96, 128, 256):
+        pick = resolve_precision("auto", batch)
+        t_pick = _interp_step_us(_STEP_US[pick], batch)
+        for mode in ("bf16", "int8"):
+            assert t_pick <= _interp_step_us(_STEP_US[mode], batch) + 1e-9
+    # Interpolation sanity: exact at knots, monotone clamps at the ends.
+    assert _interp_step_us(_STEP_US["bf16"], 48) == pytest.approx(3.04)
+    assert _interp_step_us(_STEP_US["bf16"], 1) == pytest.approx(2.30)
     assert resolve_precision("bf16", 1) == "bf16"
     assert resolve_precision("int8", 1) == "int8"
     with pytest.raises(ValueError, match="precision"):

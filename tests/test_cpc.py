@@ -201,3 +201,98 @@ def test_bf16_mxu_gather_matches_index_gather(setup):
         np.asarray(z_neg_fast.astype(jnp.float32)), z_neg_ref
     )
     assert np.isfinite(float(loss_fast))
+
+
+def test_tiebreak_epsilon_property(rng):
+    """Property-test the accuracy tie-break epsilon at small dims
+    (models/cpc.py; VERDICT r3 #7).
+
+    The epsilon exists because z is QUANTIZED: a negative drawing the
+    positive's codeword produces an exact score tie, which torch's
+    argmax-first semantics count as correct (reference model.py:307-312)
+    but which our different accumulation order could flip. Properties:
+
+    (a) all-self negatives (every negative IS the positive, the extreme
+        collision case) -> accuracy exactly 1.0, at any score scale
+        (the epsilon is relative);
+    (b) on random quantized inputs, per-anchor decisions match an exact
+        f64 argmax-first oracle everywhere outside the epsilon's near-tie
+        band, exact ties always count correct, and the reported accuracy
+        equals the mean of the per-anchor decisions.
+    """
+    conf = ConfCPC(
+        n_prediction_steps=4,
+        n_speakers_per_batch=2,
+        n_utterances_per_speaker=2,
+        n_negatives=3,
+        z_dim=4,
+        c_dim=6,
+    )
+    params = cpc_init(jax.random.key(3), conf)
+    s, u, k_steps, n_neg = 2, 2, 2, 3
+    t = 12
+    length = t - k_steps
+    codes = rng.normal(size=(3, conf.z_dim)).astype(np.float32)
+    z = codes[rng.integers(0, 3, size=(s * u, t))]
+    c = rng.normal(size=(s * u, t, conf.c_dim)).astype(np.float32)
+
+    # ---- (a) all-self negatives: exact ties everywhere. -------------------
+    utt_self = np.tile(
+        np.arange(u, dtype=np.int32)[None, :, None], (k_steps, 1, n_neg)
+    )
+    seq_self = np.tile(
+        np.arange(length, dtype=np.int32)[None, None, None, None, :],
+        (k_steps, s, u, n_neg, 1),
+    )
+    for scale in (1.0, 64.0, 1.0 / 64.0):
+        _, accs = cpc_apply_with_indices(
+            params, conf, jnp.asarray(z * scale), jnp.asarray(c),
+            jnp.asarray(utt_self), jnp.asarray(seq_self),
+        )
+        np.testing.assert_array_equal(np.asarray(accs), 1.0)
+
+    # ---- (b) random indices vs exact f64 oracle. --------------------------
+    utt_idx, seq_idx = sample_negative_indices(
+        conf, jax.random.key(11), length
+    )
+    _, accs, f_our = cpc_apply_with_indices(
+        params, conf, jnp.asarray(z), jnp.asarray(c), utt_idx, seq_idx,
+        return_scores=True,
+    )
+    f_our = np.asarray(f_our, np.float64)  # (K, S*U, 1+Neg, L)
+
+    # Exact f64 scores from the same formula (reference model.py:244-305).
+    z64 = np.asarray(z, np.float64).reshape(s, u, t, conf.z_dim)
+    c64 = np.asarray(c, np.float64)[:, :length, :]
+    f64 = np.empty_like(f_our)
+    for k in range(1, k_steps + 1):
+        z_shift = z64[:, :, k : length + k, :]
+        wc = c64 @ np.asarray(params.w[k - 1], np.float64) + np.asarray(
+            params.b[k - 1], np.float64
+        )
+        wc = wc.reshape(s, u, length, conf.z_dim)
+        spk = np.arange(s).reshape(-1, 1, 1, 1)
+        utt = np.asarray(utt_idx[k - 1]).reshape(1, u, n_neg, 1)
+        seq = np.asarray(seq_idx[k - 1])
+        z_neg = z_shift[spk, utt, seq, :]
+        zs = np.concatenate([z_shift[:, :, None], z_neg], axis=2)
+        f64[k - 1] = (
+            np.sum(zs * wc[:, :, None], axis=-1) / math.sqrt(conf.z_dim)
+        ).reshape(s * u, 1 + n_neg, length)
+
+    gap64 = f64[:, :, 0, :] - f64[:, :, 1:, :].max(axis=2)
+    dec_oracle = gap64 >= 0  # torch argmax-first: ties -> index 0 wins
+    tol = 1e-5 * (1.0 + np.abs(f_our[:, :, 0, :]))
+    dec_our = (
+        f_our[:, :, 0, :] + tol >= f_our[:, :, 1:, :].max(axis=2)
+    )
+    # Outside the near-tie band, decisions must match the exact oracle.
+    clear = np.abs(gap64) > 4.0 * tol
+    np.testing.assert_array_equal(dec_our[clear], dec_oracle[clear])
+    # Exact ties (codeword collisions) always count correct.
+    assert dec_our[gap64 == 0].all()
+    assert (gap64 == 0).any()  # the quantized construction does collide
+    # The reported metric IS the mean of the per-anchor decisions.
+    np.testing.assert_allclose(
+        np.asarray(accs, np.float64), dec_our.mean(axis=(1, 2)), atol=1e-7
+    )

@@ -140,3 +140,25 @@ def test_bfloat16_compute_close_to_f32(rng):
     # Indices mostly agree; quantized outputs are codebook rows (f32 exact).
     agreement = np.mean(np.asarray(idx32) == np.asarray(idx16))
     assert agreement > 0.9
+
+
+@pytest.mark.parametrize("t", [300, 301])
+def test_conv_strategy_paths_agree(rng, monkeypatch, t):
+    """The unfold+matmul conv and XLA's native NWC conv (selected by input
+    length, models/encoder.py:_UNFOLD_MAX_T) compute the same frontend —
+    including the exact odd-T contract (T' = floor(T/2), true final sample
+    in-window)."""
+    import vectorquantizedcpc_tpu.models.encoder as enc_mod
+
+    params, _ = encoder_init(jax.random.key(0), CONF)
+    mels = jnp.asarray(rng.normal(size=(2, 8, t)).astype(np.float32))
+
+    monkeypatch.setattr(enc_mod, "_UNFOLD_MAX_T", 10**9)
+    out_unfold = enc_mod._frontend(params, mels, jnp.float32)
+    monkeypatch.setattr(enc_mod, "_UNFOLD_MAX_T", 0)
+    out_conv = enc_mod._frontend(params, mels, jnp.float32)
+
+    assert out_unfold.shape == out_conv.shape == (2, t // 2, 4)
+    np.testing.assert_allclose(
+        np.asarray(out_unfold), np.asarray(out_conv), atol=2e-5
+    )

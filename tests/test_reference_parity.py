@@ -210,10 +210,27 @@ def test_cpc_lockstep_training_vs_reference(refmodel, rng):
     )
     step = make_train_step(conf, inject_negatives=True)
 
+    from vectorquantizedcpc_tpu.models.cpc import cpc_apply_with_indices
+    from vectorquantizedcpc_tpu.models.encoder import encoder_forward
+
     ref_hist, our_hist = [], []
+    f_ref_steps, f_our_steps = [], []
     for i in range(n_steps):
         mels = rng.normal(size=(SPK, UTT, IN_CH, T_CLIP)).astype(np.float32)
         torch_draws, utt_idx, seq_idx = _draw_negatives(rng)
+
+        # -- our PRE-step scores (same weights as the torch forward below):
+        # used to derive the tie-adjusted accuracy bound from the measured
+        # cross-framework score drift.
+        z_our, c_our, _, _, _ = encoder_forward(
+            state.enc, state.vq,
+            jnp.asarray(mels.reshape(SPK * UTT, IN_CH, T_CLIP)),
+        )
+        _, _, f_our = cpc_apply_with_indices(
+            state.cpc, conf.model.cpc, z_our, c_our, utt_idx, seq_idx,
+            return_scores=True,
+        )
+        f_our_steps.append(np.asarray(f_our, np.float64))
 
         # -- torch step (reference train_cpc.py:104-124 inner loop). --------
         opt_ref.zero_grad()
@@ -222,10 +239,20 @@ def test_cpc_lockstep_training_vs_reference(refmodel, rng):
         )
         orig_randint = torch.randint
         torch.randint = RandintInjector(torch_draws)
+        orig_ce = refmodel.F.cross_entropy
+        f_ref_k = []
+
+        def capture_ce(f, labels, *a, **kw):
+            f_ref_k.append(f.detach().numpy().astype(np.float64))
+            return orig_ce(f, labels, *a, **kw)
+
+        refmodel.F.cross_entropy = capture_ce
         try:
             cpc_loss, accs = cpc_ref(z, c)
         finally:
             torch.randint = orig_randint
+            refmodel.F.cross_entropy = orig_ce
+        f_ref_steps.append(np.stack(f_ref_k))  # (K, S*U, 1+Neg, L)
         (cpc_loss + vq_loss).backward()
         opt_ref.step()
         ref_hist.append(
@@ -279,20 +306,32 @@ def test_cpc_lockstep_training_vs_reference(refmodel, rng):
     np.testing.assert_allclose(
         our_hist[0][3], ref_hist[0][3], atol=24.0 / (SPK * UTT * LENGTH)
     )
-    acc_mean_diff = np.mean(
-        [np.abs(h_our[3] - h_ref[3]).mean() for h_ref, h_our in zip(ref_hist, our_hist)]
-    )
-    # 0.2: the scores-first CPC scoring (one batched similarity matmul +
-    # one-hot contractions on SCALAR scores, models/cpc.py) accumulates
-    # f_neg in a different fp order than torch's per-k elementwise
-    # reduction, so the near-tie flips described above start from ~1e-7
-    # score perturbations instead of bit-identity — measured drift 0.12
-    # over 10 steps vs 0.045 for the order-matched round-2 kernel, losses
-    # unchanged within the same tight bounds. Exact-tie semantics (a
-    # negative landing on the positive's codeword counts correct, torch
-    # argmax-first behavior) are preserved via the epsilon tie-break in
-    # models/cpc.py and pinned by the tight step-0 assertion above.
-    assert acc_mean_diff < 0.2, acc_mean_diff
+    # Tie-adjusted accuracy bound, derived per step from measured score
+    # statistics (VERDICT r3 #7 — replaces the former 0.2 blanket): an
+    # anchor's argmax can only disagree between frameworks if its
+    # positive-vs-best-negative margin is within the measured cross-
+    # framework score drift of that step (near-ties flip; everything else
+    # is pinned by the same scores). So per (step, k):
+    #     |acc_our - acc_ref| <= frac(|margin_ref| <= 2*drift) + slack
+    # with drift = max|f_our - f_ref| over the step's logits. Early steps
+    # have tiny drift (identical weights -> only exact codeword ties are
+    # flippable, and those agree via the epsilon tie-break), so the bound
+    # self-tightens exactly where the old blanket was loosest.
+    n_anchors = SPK * UTT * LENGTH
+    for i, (f_ref, f_our) in enumerate(zip(f_ref_steps, f_our_steps)):
+        drift = np.abs(f_our - f_ref).max()
+        margin = f_ref[:, :, 0, :] - f_ref[:, :, 1:, :].max(axis=2)  # (K,SU,L)
+        flippable = (np.abs(margin) <= 2.0 * drift).mean(axis=(1, 2))  # (K,)
+        acc_diff = np.abs(our_hist[i][3] - ref_hist[i][3])
+        assert np.all(acc_diff <= flippable + 4.0 / n_anchors), (
+            i, drift, acc_diff, flippable
+        )
+        # The drift itself must stay at fp-noise-accumulation scale (it is
+        # what the loss tolerances above already imply; a blow-up here
+        # would make the flippable bound vacuous).
+        assert drift <= 5e-3 * (1.0 + np.abs(f_ref).max()), (i, drift)
+    # Step 0 runs on identical weights: score drift is pure fp-order noise.
+    assert np.abs(f_our_steps[0] - f_ref_steps[0]).max() < 1e-4
 
     # ---- EMA buffers after 10 genuine reference updates. -------------------
     np.testing.assert_allclose(

@@ -130,3 +130,88 @@ def test_graft_entry_forward_shapes():
     loss_shape, (ppl_shape, accs_shape) = out
     assert loss_shape.shape == ()
     assert accs_shape.shape == (6,)
+
+
+def test_fused_lstm_shard_map_matches_unsharded(mesh, rng):
+    """The Pallas LSTM under shard_map (data axis) == the unsharded kernel.
+
+    Pins VERDICT r3 weak #3: meshed programs keep the fused kernel instead
+    of silently falling back to lax.scan."""
+    from vectorquantizedcpc_tpu.models.rnn import lstm_apply, lstm_init
+
+    B, T, D, H = 8, 22, 8, 32
+    params = lstm_init(jax.random.key(0), D, H)
+    x = jnp.asarray(
+        rng.normal(size=(B, T, D)).astype(np.float32) * 0.5, jnp.bfloat16
+    )
+    out_ref, (h_r, c_r) = lstm_apply(params, x, use_pallas=True, interpret=True)
+    xs = jax.device_put(x, batch_sharding(mesh, 3))
+    fn = jax.jit(
+        lambda p, xx: lstm_apply(
+            p, xx, use_pallas=True, interpret=True, mesh=mesh
+        )
+    )
+    out_m, (h_m, c_m) = fn(params, xs)
+    np.testing.assert_allclose(
+        np.asarray(out_m, np.float32), np.asarray(out_ref, np.float32),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_m, np.float32), np.asarray(h_r, np.float32), atol=1e-6
+    )
+
+    # Gradients flow through the shard_map'd custom-VJP kernel too.
+    def loss(p, xx, meshed):
+        o, _ = lstm_apply(
+            p, xx, use_pallas=True, interpret=True,
+            mesh=mesh if meshed else None,
+        )
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, x, False))(params)
+    g_m = jax.jit(jax.grad(lambda p: loss(p, xs, True)))(params)
+    for name in ("wx", "wh", "b"):
+        a = np.asarray(getattr(g_ref, name), np.float32)
+        b = np.asarray(getattr(g_m, name), np.float32)
+        scale = max(np.abs(a).max(), 1.0)
+        # Tolerance is bf16-partial-sum noise: the sharded backward rounds
+        # each shard's bf16 weight-grad partial BEFORE the cross-shard
+        # sum, the unsharded contraction accumulates once in f32 —
+        # inherent to data-parallel bf16 grads, not a kernel difference
+        # (the forward matches to 1e-6 above).
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-2)
+
+
+def test_sharded_step_with_fused_kernel_matches_unsharded(mesh, rng, monkeypatch):
+    """bf16 sharded CPC train step WITH the fused LSTM active (interpret
+    mode) == the unsharded fused-kernel step."""
+    monkeypatch.setenv("VQCPC_PALLAS_INTERPRET", "1")
+    conf_bf16 = load_conf(
+        [o for o in TINY if not o.startswith("runtime.precision")]
+        + ["runtime.precision=bfloat16"]
+    )
+    batch = _batch(conf_bf16, rng)
+
+    state_a = init_train_state(conf_bf16, jax.random.key(0))
+    step_a = make_train_step(conf_bf16)
+    new_a, m_a = step_a(
+        state_a, jnp.asarray(batch), jax.random.key(7), np.float32(1e-3)
+    )
+
+    state_b = init_train_state(conf_bf16, jax.random.key(0))
+    step_b = make_train_step(conf_bf16, mesh)
+    sharded_batch = jax.device_put(batch, batch_sharding(mesh, 4))
+    new_b, m_b = step_b(
+        state_b, sharded_batch, jax.random.key(7), np.float32(1e-3)
+    )
+
+    assert float(m_a["loss"]) == pytest.approx(float(m_b["loss"]), rel=2e-3)
+    # bf16 compute: the TP row-sharded out_w psums bf16 PARTIALS, which
+    # perturbs z_pre by ~1e-2 relative and flips a few VQ argmin
+    # near-ties, so EMA embeddings drift slightly (an inherent bf16+TP
+    # property, independent of the LSTM kernel under test — the f32
+    # variant above pins exactness). Bound it loosely.
+    np.testing.assert_allclose(
+        np.asarray(new_a.vq.embedding), np.asarray(new_b.vq.embedding),
+        atol=0.15,
+    )

@@ -119,3 +119,43 @@ def test_forward_grad_flows(params, small_conf, rng):
     assert float(jnp.abs(g.ar_gru.wx).sum()) > 0
     assert float(jnp.abs(g.code_embedding).sum()) > 0
     assert float(jnp.abs(g.prenet_fwd[0].wx).sum()) > 0
+
+
+def test_ragged_conditioning_bit_exact(params, small_conf, rng):
+    """build_conditioning_frames_ragged on a padded mixed-length batch is
+    BIT-IDENTICAL to per-row build_conditioning_frames on each row's valid
+    prefix (the serving drain's single-dispatch conditioning contract)."""
+    from vectorquantizedcpc_tpu.models.vocoder import (
+        build_conditioning_frames,
+        build_conditioning_frames_ragged,
+    )
+
+    n_codes = [3, 7, 5, 7, 1]
+    max_codes = 8
+    g = len(n_codes)
+    zs = np.zeros((g, max_codes), np.int32)
+    spks = np.asarray([i % 4 for i in range(g)], np.int32)
+    for i, n in enumerate(n_codes):
+        zs[i, :n] = rng.integers(0, 12, size=(n,))
+    n_frames = jnp.asarray([2 * n for n in n_codes], jnp.int32)
+
+    ragged = build_conditioning_frames_ragged(
+        params, small_conf, jnp.asarray(zs), jnp.asarray(spks), n_frames
+    )
+    assert ragged.shape[1] == 2 * max_codes
+    assert np.isfinite(np.asarray(ragged)).all()
+
+    for i, n in enumerate(n_codes):
+        solo = build_conditioning_frames(
+            params, small_conf,
+            jnp.asarray(zs[i : i + 1, :n]), jnp.asarray(spks[i : i + 1]),
+        )
+        # The flip construction is exact; the only residual is XLA picking
+        # a different matmul reduction strategy for the (G, T_pad) batch
+        # shape than for the (1, 2n) solo shape — 1-ulp f32 noise. (The
+        # greedy/deterministic serving mode therefore keeps per-request
+        # singleton conditioning; infer/serving.py.)
+        np.testing.assert_allclose(
+            np.asarray(ragged[i, : 2 * n]), np.asarray(solo[0]),
+            rtol=0, atol=5e-7,
+        )

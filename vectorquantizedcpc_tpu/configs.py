@@ -400,6 +400,29 @@ class ConfGlobal:
 _INTERP_RE = re.compile(r"^\$\{([A-Za-z0-9_.]+)\}$")
 
 
+def resolve_compute_dtype(precision: str):
+    """Map ``runtime.precision`` to a TRAINING compute dtype.
+
+    The same config field also selects decode modes for the inference
+    surfaces ("bf16" / "int8" / "auto"; infer/convert.py, infer/serving.py,
+    ops/ar_decode.py) — a config written for serving must not crash the
+    trainers, so the decode-only spellings map to bfloat16 compute here
+    (weight-only int8 is an inference-only quantization; training always
+    keeps f32 params with bf16/f32 activations).
+    """
+    import jax.numpy as jnp
+
+    if precision in ("auto", "int8", "bf16"):
+        return jnp.dtype(jnp.bfloat16)
+    try:
+        return jnp.dtype(precision)
+    except TypeError:
+        raise ValueError(
+            f"runtime.precision={precision!r} is not a training compute "
+            "dtype (float32/bfloat16) or a decode mode (bf16/int8/auto)"
+        ) from None
+
+
 def _deep_merge(base: Dict[str, Any], override: Dict[str, Any]) -> Dict[str, Any]:
     """Recursively merge ``override`` into ``base`` (override wins)."""
     out = dict(base)

@@ -366,7 +366,9 @@ class ContinuousBatcher:
                 )
         return self._results[rid]
 
-    def run(self, materialize: bool = True) -> Dict[int, np.ndarray]:
+    def run(
+        self, materialize: bool = True, wait: bool = True
+    ) -> Dict[int, np.ndarray]:
         """Drain the queue and all in-flight streams (planned drain).
 
         ``materialize=False`` completes the drain TO DEVICE (blocks until
@@ -376,9 +378,16 @@ class ContinuousBatcher:
         bandwidth — the raw-kernel decode benchmarks are measured the same
         way — and lets a caller overlap result download with the next
         drain.
+
+        ``wait=False`` additionally skips the final device sync: every
+        program of the drain is ENQUEUED (results remain lazily
+        fetchable) but the call returns immediately — back-to-back drains
+        pipeline on the device with no per-drain host round-trip. Used by
+        the RTT-amortized benchmark boundary (bench.py) on tunneled
+        links, where one blocked sync costs ~25 ms.
         """
         if self._queue or any(s.rid is not None for s in self._slot_meta):
-            self._drain_planned()
+            self._drain_planned(wait=wait)
         if not materialize:
             return dict(self._results)
         for rid in list(self._pending):
@@ -395,7 +404,7 @@ class ContinuousBatcher:
 
     # ------------------------------------------------- planned drain (run)
 
-    def _drain_planned(self) -> None:
+    def _drain_planned(self, wait: bool = True) -> None:
         import os
 
         debug = bool(os.environ.get("VQCPC_SERVING_DEBUG"))
@@ -428,25 +437,54 @@ class ContinuousBatcher:
             base = s_count
         rid_row: Dict[int, int] = {}
         rid_total: Dict[int, int] = {}
-        groups: Dict[int, list] = {}
-        for rid, z, spk in new_reqs:
-            groups.setdefault(z.shape[0], []).append((rid, z, spk))
         row = base
-        for n_codes in sorted(groups):
-            items = groups[n_codes]
-            g_pad = _pow2(len(items))
-            zs = np.zeros((g_pad, n_codes), np.int32)
+        if new_reqs and not self._greedy:
+            # Sampling mode: ONE ragged-batch conditioning dispatch for
+            # every queued request regardless of length mix (flip-exact
+            # biGRU, models/vocoder.py:build_conditioning_frames_ragged).
+            # Pow-2 padded batch/length keep the compile cache bounded.
+            g_pad = _pow2(len(new_reqs))
+            mc_pad = min(
+                _pow2(max(z.shape[0] for _r, z, _s in new_reqs)),
+                self._max_frames // 2,
+            )
+            zs = np.zeros((g_pad, mc_pad), np.int32)
             spks = np.zeros((g_pad,), np.int32)
-            for j, (rid, z, spk) in enumerate(items):
-                zs[j], spks[j] = z, spk
+            nf = np.zeros((g_pad,), np.int32)
+            for j, (rid, z, spk) in enumerate(new_reqs):
+                zs[j, : z.shape[0]], spks[j] = z, spk
+                nf[j] = 2 * z.shape[0]
                 rid_row[rid] = row + j
-                rid_total[rid] = 2 * n_codes
+                rid_total[rid] = 2 * z.shape[0]
             parts.append(
-                self._group_cond(n_codes, g_pad)(
-                    jnp.asarray(zs), jnp.asarray(spks)
+                self._ragged_cond(mc_pad, g_pad)(
+                    jnp.asarray(zs), jnp.asarray(spks), jnp.asarray(nf)
                 )
             )
             row += g_pad
+        elif new_reqs:
+            # Greedy/deterministic mode: per-length singleton-compatible
+            # bucket conditioning — bit-exact vs the single-shot decode
+            # (the batched ragged matmul shape costs ~1-ulp f32 noise,
+            # which a greedy argmax can amplify into a different sample).
+            groups: Dict[int, list] = {}
+            for rid, z, spk in new_reqs:
+                groups.setdefault(z.shape[0], []).append((rid, z, spk))
+            for n_codes in sorted(groups):
+                items = groups[n_codes]
+                g_pad = _pow2(len(items))
+                zs = np.zeros((g_pad, n_codes), np.int32)
+                spks = np.zeros((g_pad,), np.int32)
+                for j, (rid, z, spk) in enumerate(items):
+                    zs[j], spks[j] = z, spk
+                    rid_row[rid] = row + j
+                    rid_total[rid] = 2 * n_codes
+                parts.append(
+                    self._group_cond(n_codes, g_pad)(
+                        jnp.asarray(zs), jnp.asarray(spks)
+                    )
+                )
+                row += g_pad
         r_s = _pow2(max(row, 1))
         staging = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
         if staging.shape[0] < r_s:
@@ -517,6 +555,7 @@ class ContinuousBatcher:
         h, prev = self._state.h, self._state.prev
         ys_parts: List[jax.Array] = []
         timeline: Optional[jax.Array] = None
+        parts_in_timeline = 0
         done_steps = 0
         gathered: set = set()
         inflight_rids = {rid for _i, rid, _p, _t in inflight}
@@ -524,7 +563,7 @@ class ContinuousBatcher:
         def _issue_ready(limit_steps: int) -> None:
             """Gather + start D2H for every request fully decoded before
             ``limit_steps`` (timeline rows [0, limit_steps) are available)."""
-            nonlocal timeline
+            nonlocal timeline, parts_in_timeline
             ready: Dict[int, List[int]] = {}
             for rid, (slot, s0, nseg) in rid_sched.items():
                 if rid in gathered or s0 + nseg > limit_steps:
@@ -536,24 +575,30 @@ class ContinuousBatcher:
             if not ready:
                 return
             if timeline is None or timeline.shape[0] < limit_steps:
+                # Incremental: append only the chunks produced since the
+                # last rebuild — re-concatenating ALL parts each time would
+                # re-copy every prior chunk's output (O(n_chunks) full-
+                # timeline HBM passes over a drain).
+                fresh = ys_parts[parts_in_timeline:]
+                pieces = ([] if timeline is None else [timeline]) + fresh
                 timeline = (
-                    ys_parts[0]
-                    if len(ys_parts) == 1
-                    else jnp.concatenate(ys_parts, axis=0)
+                    pieces[0]
+                    if len(pieces) == 1
+                    else jnp.concatenate(pieces, axis=0)
                 )
+                parts_in_timeline = len(ys_parts)
             for key_, rids in sorted(ready.items()):
                 if key_ < 0:  # in-flight: prefix from the incremental ring
                     (rid,) = rids
                     slot, s0, nseg = rid_sched[rid]
                     pos0, total = rid_pos0[rid], rid_total[rid]
-                    segs = timeline[s0 : s0 + nseg, slot].reshape(1, -1)
-                    dev = jnp.concatenate(
-                        [
-                            self._out_buf[None, slot, : pos0 * hop],
-                            segs[:, : (total - pos0) * hop],
-                        ],
-                        axis=1,
-                    ).astype(self._class_dtype)
+                    # One fused jitted dispatch (slice + prefix + trim +
+                    # cast) — an eager op chain costs one tunneled
+                    # dispatch EACH, between drain chunks.
+                    dev = self._inflight_gather(pos0, total, nseg)(
+                        timeline, self._out_buf,
+                        np.int32(s0), np.int32(slot),
+                    )
                 else:  # same length -> same (nseg,) shape: one bucket gather
                     total = key_
                     slots_a = np.asarray(
@@ -610,8 +655,10 @@ class ContinuousBatcher:
         # "Drain complete" = every class computed on device (the raw-kernel
         # benchmarks use the same boundary); D2H finishes in result() —
         # usually already in flight thanks to the mid-drain async copies.
-        jax.block_until_ready([e[1]["dev"] for e in self._pending.values()
-                               if isinstance(e, tuple) and e[0] == "bucket"])
+        if wait:
+            jax.block_until_ready(
+                [e[1]["dev"] for e in self._pending.values()
+                 if isinstance(e, tuple) and e[0] == "bucket"])
         _mark("to-device")
 
         self._step_count += n_steps
@@ -621,6 +668,30 @@ class ContinuousBatcher:
         # The drain consumed the donated state buffers; reinstall a fresh
         # (correctly sharded) state for subsequent incremental use.
         self._state = DecodeState(h=h, prev=prev)
+
+    def _ragged_cond(self, mc_pad: int, g: int) -> Callable:
+        """One-dispatch conditioning for a padded MIXED-length batch ->
+        staging rows (G, MF, 3H). Rows are exact on their valid prefixes
+        (flip-exact ragged biGRU); tail positions carry bounded garbage
+        that only ever conditions discarded past-end-of-stream samples."""
+        key = ("ragged", mc_pad, g)
+        if key not in self._group_cond_cache:
+            from ..models.vocoder import build_conditioning_frames_ragged
+
+            def cond(zs, spks, nf):  # (G, mc_pad), (G,), (G,)
+                c = project_cond_frames(
+                    self._weights,
+                    build_conditioning_frames_ragged(
+                        self._params, self._conf, zs, spks, nf
+                    ),
+                )  # (G, 2*mc_pad, 3H)
+                c = c[:, : self._max_frames]
+                return jnp.pad(
+                    c, ((0, 0), (0, self._max_frames - c.shape[1]), (0, 0))
+                ).astype(jnp.bfloat16)
+
+            self._group_cond_cache[key] = jax.jit(cond)
+        return self._group_cond_cache[key]
 
     def _group_cond(self, n_codes: int, g: int) -> Callable:
         """Batched per-length conditioning -> padded staging rows (G, MF, 3H)."""
@@ -641,6 +712,30 @@ class ContinuousBatcher:
 
             self._group_cond_cache[key] = jax.jit(cond)
         return self._group_cond_cache[key]
+
+    def _inflight_gather(self, pos0: int, total: int, nseg: int) -> Callable:
+        """Jitted in-flight reassembly: ring-buffer prefix (decoded by
+        earlier incremental step() calls) + this drain's timeline segments
+        -> (1, total*hop) classes in the compact fetch dtype."""
+        key = ("inflight", pos0, total, nseg)
+        if key not in self._gather_cache:
+            hop, cd = self._hop, self._class_dtype
+
+            @jax.jit
+            def g(timeline, out_buf, s0, slot):
+                seg_w = timeline.shape[2]
+                segs = jax.lax.dynamic_slice(
+                    timeline, (s0, slot, 0), (nseg, 1, seg_w)
+                ).reshape(1, nseg * seg_w)
+                prefix = jax.lax.dynamic_slice(
+                    out_buf, (slot, 0), (1, pos0 * hop)
+                )
+                return jnp.concatenate(
+                    [prefix, segs[:, : (total - pos0) * hop]], axis=1
+                ).astype(cd)
+
+            self._gather_cache[key] = g
+        return self._gather_cache[key]
 
     def _bucket_gather(self, total: int) -> Callable:
         """Jitted bucket reassembly: timeline (T, slots, sf*hop) +

@@ -82,8 +82,14 @@ def cpc_apply_with_indices(
     utt_index: jax.Array,
     seq_index: jax.Array,
     exclude_self_negatives: bool = False,
+    return_scores: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """InfoNCE scoring given precomputed negative indices (testable core)."""
+    """InfoNCE scoring given precomputed negative indices (testable core).
+
+    ``return_scores`` additionally returns the scaled logits ``f`` of
+    shape (K, S*U, 1+Neg, L) (positive fixed at class 0) — used by the
+    lockstep parity test to derive a tie-adjusted accuracy bound from the
+    measured cross-framework score drift."""
     s = conf.n_speakers_per_batch
     u = conf.n_utterances_per_speaker
     k_steps = conf.n_prediction_steps // 2
@@ -129,21 +135,34 @@ def cpc_apply_with_indices(
     # contracts the time one-hot over M, stage f_neg the utterance one-hot
     # over V. No (...,Z) negative tensor ever exists, and the backward is
     # two clean (512, 512) @ (512, 64)-class matmuls into d_wc / d_z.
-    # Selection by 0/1 contraction is exact in f32 (sim is f32), and a
-    # plain fancy-index gather is NOT an option here: XLA's TPU gather ran
+    # Selection by 0/1 contraction is exact PROVIDED the matmuls run at
+    # HIGHEST precision: TPU's default matmul precision casts f32 inputs
+    # to single-pass bf16, which would perturb the selected scores by
+    # ~4e-3 relative — swamping the 1e-5 tie-break epsilon below and
+    # deflating the accuracy metric by the code-collision rate. Each
+    # one-hot contraction has exactly one nonzero term per output, so at
+    # HIGHEST the sim values pass through bit-exactly. sim itself also
+    # runs HIGHEST so a tie-collision negative reproduces f_pos's f32
+    # value to ~1 ulp (measured: ~50 us of the 2.2 ms step). A plain
+    # fancy-index gather is NOT an option here: XLA's TPU gather ran
     # this shape at ~13 ms/step when tried.
     sim = jnp.einsum(
         "ksulz,ksvmz->ksulvm",
         wc,
         z_shift.astype(wc.dtype),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (K, S, U, L, V, M): anchor (u, l) x same-speaker candidate (v, m)
     onehot_t = (seq_index[..., None] == jnp.arange(length)).astype(sim.dtype)
     g1 = jnp.einsum(
-        "ksulvm,ksunlm->ksunlv", sim, onehot_t
+        "ksulvm,ksunlm->ksunlv", sim, onehot_t,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (K, S, U, Neg, L, V): time-selected scores, all utterances
     onehot_u = (utt_index[..., None] == jnp.arange(u)).astype(sim.dtype)
-    f_neg = jnp.einsum("ksunlv,kunv->ksunl", g1, onehot_u)
+    f_neg = jnp.einsum(
+        "ksunlv,kunv->ksunl", g1, onehot_u,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     # Positive scores: the elementwise diagonal (z_shift is already the
     # (k-shifted) positive series) — cheap, and keeps f_pos's accumulation
@@ -174,6 +193,8 @@ def cpc_apply_with_indices(
         axis=(1, 2, 3),
     )  # (K,)
 
+    if return_scores:
+        return jnp.mean(loss_per_k), accuracies, f
     return jnp.mean(loss_per_k), accuracies
 
 

@@ -77,29 +77,47 @@ def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e
     return (normed * scale + bias).astype(x.dtype)
 
 
+# Conv strategy switch (VERDICT r4 item #2): below this input length the
+# k4/s2 conv runs as unfold+matmul (profiled fastest inside the TRAINING
+# step at T=140, where XLA's conv lowering was ~40x off peak); at/above it
+# (long-utterance batched inference) XLA's native NWC conv wins ~2x — the
+# unfold's 4-slice concat materializes a (B, T', 4F) operand whose HBM
+# traffic dominates at T=1024 (benchmarks/profile_encoder_infer.py:
+# 1.34 ms vs 2.49 ms at B=64, T=1024; equal within noise at T=140).
+_UNFOLD_MAX_T = 256
+
+
 def _frontend(
     params: EncoderParams, mels: jax.Array, compute_dtype: jnp.dtype
 ) -> jax.Array:
     """Conv + SegFC: (B, Freq, T) -> pre-VQ latents (B, T//2, z_dim)."""
     x = jnp.swapaxes(mels, 1, 2).astype(compute_dtype)  # (B, T, F) NWC
-    # The k4/s2/p1 conv as unfold + ONE (B*T', 4F) @ (4F, C) MXU matmul.
-    # XLA's conv lowering leaves this shape (F=80 channels, T~140) ~40x off
-    # peak (xprof: 0.89 ms/step of a 4.3 ms CPC train step); the unfold is
-    # four strided slices (cheap copies) and the matmul tiles perfectly.
-    # Identical math incl. odd-T handling: T' = floor(T/2) with the true
-    # final sample in-window (reference model.py:43; infer/encode.py).
-    t_out = x.shape[1] // 2
-    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
-    cols = jnp.concatenate(
-        [
-            jax.lax.slice_in_dim(xp, j, j + 2 * (t_out - 1) + 1, 2, axis=1)
-            for j in range(4)
-        ],
-        axis=-1,
-    )  # (B, T', 4F), window-position-major like conv_w's W axis
-    x = cols @ params.conv_w.astype(compute_dtype).reshape(
-        -1, params.conv_w.shape[-1]
-    )
+    # Both paths compute the identical conv incl. odd-T handling:
+    # T' = floor(T/2) with the true final sample in-window (reference
+    # model.py:43; infer/encode.py) — symmetric (1, 1) padding gives
+    # exactly that for even AND odd T.
+    if x.shape[1] <= _UNFOLD_MAX_T:
+        # Unfold + ONE (B*T', 4F) @ (4F, C) MXU matmul (training shapes).
+        t_out = x.shape[1] // 2
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+        cols = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(xp, j, j + 2 * (t_out - 1) + 1, 2, axis=1)
+                for j in range(4)
+            ],
+            axis=-1,
+        )  # (B, T', 4F), window-position-major like conv_w's W axis
+        x = cols @ params.conv_w.astype(compute_dtype).reshape(
+            -1, params.conv_w.shape[-1]
+        )
+    else:
+        x = jax.lax.conv_general_dilated(
+            x,
+            params.conv_w.astype(compute_dtype),
+            window_strides=(2,),
+            padding=[(1, 1)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
     x = _layer_norm(x, params.ln_in_scale, params.ln_in_bias)
     x = jax.nn.relu(x)
     for i in range(params.fc_w.shape[0]):
@@ -116,6 +134,8 @@ def encoder_encode(
     compute_dtype: jnp.dtype = jnp.float32,
     return_pre_vq: bool = False,
     use_pallas: bool = False,
+    mesh=None,
+    pallas_interpret: bool = False,
 ):
     """Inference path (reference model.py:59-70).
 
@@ -129,7 +149,10 @@ def encoder_encode(
     """
     z_pre = _frontend(params, mel, compute_dtype)
     z, indices = vq_encode(vq_state, z_pre.astype(jnp.float32))
-    c, _ = lstm_apply(params.rnn, z.astype(compute_dtype), use_pallas=use_pallas)
+    c, _ = lstm_apply(
+        params.rnn, z.astype(compute_dtype), use_pallas=use_pallas, mesh=mesh,
+        interpret=pallas_interpret,
+    )
     if return_pre_vq:
         return z, c.astype(jnp.float32), indices, z_pre.astype(jnp.float32)
     return z, c.astype(jnp.float32), indices
@@ -141,6 +164,8 @@ def encoder_forward(
     mels: jax.Array,
     compute_dtype: jnp.dtype = jnp.float32,
     use_pallas: bool = False,
+    mesh=None,
+    pallas_interpret: bool = False,
 ):
     """Training path (reference model.py:72-86).
 
@@ -150,5 +175,8 @@ def encoder_forward(
     z, new_vq_state, vq_loss, perplexity = vq_apply_train(
         vq_state, z_pre.astype(jnp.float32)
     )
-    c, _ = lstm_apply(params.rnn, z.astype(compute_dtype), use_pallas=use_pallas)
+    c, _ = lstm_apply(
+        params.rnn, z.astype(compute_dtype), use_pallas=use_pallas, mesh=mesh,
+        interpret=pallas_interpret,
+    )
     return z, c.astype(jnp.float32), new_vq_state, vq_loss, perplexity

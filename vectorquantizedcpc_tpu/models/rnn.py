@@ -64,6 +64,7 @@ def lstm_apply(
     unroll: int = 8,
     use_pallas: bool = False,
     interpret: bool = False,
+    mesh=None,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Run an LSTM over ``x`` of shape (B, T, D).
 
@@ -75,8 +76,11 @@ def lstm_apply(
     (ops/lstm_scan.py: whole sequence in one kernel launch, fwd + custom
     bwd) — honored only for bfloat16 compute (the kernel's native
     precision; f32 callers — CPU tests, torch-golden parity — keep the
-    scan) and only sensible in UNSHARDED jit programs (a pallas_call has
-    no GSPMD partitioning rule; sharded trainers pass mesh and keep scan).
+    scan). Under a ``mesh`` the kernel runs inside a ``shard_map`` over
+    the data axis: the batch is data-sharded and the recurrence is
+    per-example, so each device runs a fully local kernel on its own
+    batch shard with wh broadcast (0.5 MiB — negligible); the input
+    projection stays an ordinary GSPMD matmul outside.
     """
     b, t, _ = x.shape
     h_dim = params.wh.shape[0]
@@ -98,13 +102,40 @@ def lstm_apply(
     if use_pallas and x.dtype == jnp.bfloat16:
         from ..ops.lstm_scan import fused_lstm_scan
 
-        hs, h_t, c_t = fused_lstm_scan(
-            params.wh, xproj, state[0], state[1], interpret
-        )
-        return (
-            jnp.swapaxes(hs, 0, 1),
-            (h_t.astype(x.dtype), c_t.astype(x.dtype)),
-        )
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            if (b % mesh.shape[DATA_AXIS]) == 0:
+                kernel = jax.shard_map(
+                    lambda w, xp, h0, c0: fused_lstm_scan(
+                        w, xp, h0, c0, interpret
+                    ),
+                    mesh=mesh,
+                    in_specs=(
+                        P(), P(None, DATA_AXIS, None),
+                        P(DATA_AXIS), P(DATA_AXIS),
+                    ),
+                    out_specs=(
+                        P(None, DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
+                    ),
+                    check_vma=False,
+                )
+                hs, h_t, c_t = kernel(params.wh, xproj, state[0], state[1])
+                return (
+                    jnp.swapaxes(hs, 0, 1),
+                    (h_t.astype(x.dtype), c_t.astype(x.dtype)),
+                )
+            # Batch doesn't divide the data axis: fall through to scan.
+        else:
+            hs, h_t, c_t = fused_lstm_scan(
+                params.wh, xproj, state[0], state[1], interpret
+            )
+            return (
+                jnp.swapaxes(hs, 0, 1),
+                (h_t.astype(x.dtype), c_t.astype(x.dtype)),
+            )
 
     def step(carry, xp_t):
         h, c = carry

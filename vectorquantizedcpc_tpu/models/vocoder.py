@@ -118,6 +118,54 @@ def build_conditioning_frames(
     return cond
 
 
+def build_conditioning_frames_ragged(
+    params: VocoderParams,
+    conf: ConfVocoderNetwork,
+    z_indices: jax.Array,  # (G, max_codes) padded code batch
+    speaker: jax.Array,  # (G,)
+    n_frames: jax.Array,  # (G,) valid FRAME counts (= 2 * true code counts)
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Ragged-batch conditioning: one biGRU pass over a padded batch whose
+    rows have different true lengths, BIT-EXACT with per-row
+    ``build_conditioning_frames`` on each row's valid prefix.
+
+    The PreNet biGRU is non-causal, so end-padding would corrupt the
+    backward direction. Instead each layer runs:
+
+    - forward GRU on the padded rows as-is (causal: the valid prefix never
+      sees the padded tail);
+    - backward GRU as a FORWARD scan over each row flipped by its own
+      length (``x[L-1], ..., x[0], x[0], ...``): the valid prefix is the
+      same value sequence in the same order as an unpadded reverse scan —
+      bit-identical outputs — and the flipped-back tail is garbage that
+      stays bounded (sigmoid/tanh) and never reaches a valid position.
+
+    Built for the continuous-batching server: conditioning for ALL queued
+    requests in ONE dispatch, instead of one compile+dispatch per distinct
+    length (infer/serving.py)."""
+    z_embed = jnp.take(params.code_embedding, z_indices, axis=0)
+    z_up = jnp.repeat(z_embed, 2, axis=1)
+    spk = jnp.take(params.speaker_embedding, speaker, axis=0)
+    spk_up = jnp.broadcast_to(
+        spk[:, None, :], (z_up.shape[0], z_up.shape[1], spk.shape[-1])
+    )
+    cond = jnp.concatenate([z_up, spk_up], axis=-1).astype(compute_dtype)
+
+    t = cond.shape[1]
+    pos = jnp.arange(t)[None, :]
+    flip_idx = jnp.clip(n_frames[:, None] - 1 - pos, 0, t - 1)  # (G, T)
+    from .rnn import gru_apply
+
+    for fwd, bwd in zip(params.prenet_fwd, params.prenet_bwd):
+        out_f, _ = gru_apply(fwd, cond)
+        flipped = jnp.take_along_axis(cond, flip_idx[:, :, None], axis=1)
+        out_b_f, _ = gru_apply(bwd, flipped)
+        out_b = jnp.take_along_axis(out_b_f, flip_idx[:, :, None], axis=1)
+        cond = jnp.concatenate([out_f, out_b], axis=-1)
+    return cond
+
+
 def build_conditioning(
     params: VocoderParams,
     conf: ConfVocoderNetwork,

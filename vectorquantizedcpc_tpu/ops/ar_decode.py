@@ -62,11 +62,42 @@ from .quant import quantize_int8
 # precision picks per batch so no caller silently gets the slower mode.
 INT8_CROSSOVER_BATCH = 64
 
+# Measured per-step kernel time (us/step, v5e, BENCH_r03 decode_*_us_per
+# _step) at the benchmarked batch sizes. "auto" interpolates this table
+# and picks the mode with the LOWER step time at the requested batch —
+# which is simultaneously the better-throughput AND better-latency (RTF =
+# us_per_step / 62.5 at 16 kHz) choice, so "auto" can never select a mode
+# that breaches an RTF budget the other mode meets (VERDICT r3 #6).
+_STEP_US = {
+    "bf16": [(8, 2.30), (32, 2.47), (48, 3.04), (64, 3.50), (128, 5.76)],
+    "int8": [(8, 2.42), (32, 2.84), (64, 3.16), (128, 4.28)],
+}
+
+
+def _interp_step_us(table, batch: int) -> float:
+    """Piecewise-linear in batch; clamped extrapolation at the ends."""
+    if batch <= table[0][0]:
+        return table[0][1]
+    for (b0, t0), (b1, t1) in zip(table, table[1:]):
+        if batch <= b1:
+            return t0 + (t1 - t0) * (batch - b0) / (b1 - b0)
+    # Beyond the largest measured batch: scale linearly with batch (the
+    # MXU is saturated there, so step time grows ~proportionally).
+    b_last, t_last = table[-1]
+    return t_last * batch / b_last
+
 
 def resolve_precision(precision: str, batch: int) -> str:
-    """Resolve "auto" to the faster of bf16/int8 for this decode batch."""
+    """Resolve "auto" to the faster of bf16/int8 for this decode batch.
+
+    "Faster" = lower measured per-step kernel time (``_STEP_US``), which
+    at a fixed batch is the Pareto-dominant choice: more samples/s AND
+    lower per-stream RTF.
+    """
     if precision == "auto":
-        return "int8" if batch >= INT8_CROSSOVER_BATCH else "bf16"
+        bf = _interp_step_us(_STEP_US["bf16"], batch)
+        i8 = _interp_step_us(_STEP_US["int8"], batch)
+        return "int8" if i8 < bf else "bf16"
     if precision not in ("bf16", "int8"):
         raise ValueError(f"unknown decode precision: {precision!r}")
     return precision

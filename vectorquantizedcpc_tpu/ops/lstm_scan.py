@@ -50,17 +50,25 @@ def _fwd_kernel(
     wh_ref,  # (H, 4H) bf16 — resident
     h0_ref,  # (B, H) f32
     c0_ref,  # (B, H) f32
-    hs_ref,  # (CT, B, H) bf16 — out, streamed
-    acts_ref,  # (CT, B, 4H) bf16 — out: sigmoid(i), sigmoid(f), tanh(g), sigmoid(o)
-    cprev_ref,  # (CT, B, H) f32 — out: cell state ENTERING each step
-    hT_ref,  # (B, H) f32 — out, constant block
-    cT_ref,  # (B, H) f32 — out, constant block
-    h_scr,  # (B, H) f32 scratch
-    c_scr,  # (B, H) f32 scratch
-    *,
+    *rest,  # outputs then scratch; residual outputs only when saving:
+    #   hs_ref (CT, B, H) bf16 — out, streamed
+    #   [acts_ref (CT, B, 4H) bf16 — out: sigmoid(i/f/o), tanh(g)]
+    #   [cprev_ref (CT, B, H) f32 — out: cell state ENTERING each step]
+    #   hT_ref, cT_ref (B, H) f32 — out, constant blocks
+    #   h_scr, c_scr (B, H) f32 scratch
     chunk_t: int,
     hidden: int,
+    save_residuals: bool,
 ):
+    if save_residuals:
+        hs_ref, acts_ref, cprev_ref, hT_ref, cT_ref, h_scr, c_scr = rest
+    else:
+        # Inference variant: XLA cannot dead-code-eliminate pallas outputs,
+        # so a pure-forward caller (encoder_encode) would otherwise pay
+        # ~2.5x the necessary HBM writes for residuals nobody reads.
+        hs_ref, hT_ref, cT_ref, h_scr, c_scr = rest
+        acts_ref = cprev_ref = None
+
     @pl.when(pl.program_id(0) == 0)
     def _init():
         h_scr[:] = h0_ref[:]
@@ -68,7 +76,8 @@ def _fwd_kernel(
 
     def step(t, _):
         h, c = h_scr[:], c_scr[:]
-        cprev_ref[t] = c
+        if save_residuals:
+            cprev_ref[t] = c
         gates = xproj_ref[t].astype(jnp.float32) + jnp.dot(
             h.astype(jnp.bfloat16), wh_ref[:],
             preferred_element_type=jnp.float32,
@@ -79,9 +88,10 @@ def _fwd_kernel(
         o = jax.nn.sigmoid(gates[:, 3 * hidden :])
         c_new = f * c + i * g
         h_new = o * jnp.tanh(c_new)
-        acts_ref[t] = jnp.concatenate([i, f, g, o], axis=-1).astype(
-            jnp.bfloat16
-        )
+        if save_residuals:
+            acts_ref[t] = jnp.concatenate([i, f, g, o], axis=-1).astype(
+                jnp.bfloat16
+            )
         hs_ref[t] = h_new.astype(jnp.bfloat16)
         h_scr[:] = h_new
         c_scr[:] = c_new
@@ -150,9 +160,11 @@ def _bwd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("hidden", "chunk_t", "interpret")
+    jax.jit,
+    static_argnames=("hidden", "chunk_t", "interpret", "save_residuals"),
 )
-def _fwd_call(xproj, wh, h0, c0, hidden, chunk_t, interpret):
+def _fwd_call(xproj, wh, h0, c0, hidden, chunk_t, interpret,
+              save_residuals=True):
     t, b, gdim = xproj.shape
     n_chunks = t // chunk_t
     stream = lambda width, dt: pl.BlockSpec(
@@ -161,8 +173,24 @@ def _fwd_call(xproj, wh, h0, c0, hidden, chunk_t, interpret):
     const = lambda: pl.BlockSpec(
         (b, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
+    res_specs = (
+        [stream(gdim, jnp.bfloat16), stream(hidden, jnp.float32)]
+        if save_residuals
+        else []
+    )
+    res_shapes = (
+        [
+            jax.ShapeDtypeStruct((t, b, gdim), jnp.bfloat16),
+            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+        ]
+        if save_residuals
+        else []
+    )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, chunk_t=chunk_t, hidden=hidden),
+        functools.partial(
+            _fwd_kernel, chunk_t=chunk_t, hidden=hidden,
+            save_residuals=save_residuals,
+        ),
         grid=(n_chunks,),
         in_specs=[
             stream(gdim, jnp.bfloat16),
@@ -170,17 +198,13 @@ def _fwd_call(xproj, wh, h0, c0, hidden, chunk_t, interpret):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            stream(hidden, jnp.bfloat16),
-            stream(gdim, jnp.bfloat16),
-            stream(hidden, jnp.float32),
+        out_specs=[stream(hidden, jnp.bfloat16)] + res_specs + [
             const(),
             const(),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t, b, hidden), jnp.bfloat16),
-            jax.ShapeDtypeStruct((t, b, gdim), jnp.bfloat16),
-            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((t, b, hidden), jnp.bfloat16)]
+        + res_shapes
+        + [
             jax.ShapeDtypeStruct((b, hidden), jnp.float32),
             jax.ShapeDtypeStruct((b, hidden), jnp.float32),
         ],
@@ -244,12 +268,18 @@ def fused_lstm_scan(
     Drop-in for the ``lax.scan`` body of models/rnn.py:lstm_apply (torch
     i,f,g,o gate order). T must be static; any T works (the grid picks the
     largest chunk divisor <= 16).
+
+    The primal (undifferentiated) call runs the residual-free inference
+    kernel — backward residuals (acts, cprev) are emitted only under
+    differentiation via the custom-VJP fwd rule.
     """
-    hs, _, _, hT, cT = _fused_fwd_impl(wh, xproj, h0, c0, interpret)
+    hs, hT, cT = _fused_fwd_impl(
+        wh, xproj, h0, c0, interpret, save_residuals=False
+    )
     return hs, hT, cT
 
 
-def _fused_fwd_impl(wh, xproj, h0, c0, interpret):
+def _fused_fwd_impl(wh, xproj, h0, c0, interpret, save_residuals=True):
     t = xproj.shape[0]
     hidden = wh.shape[0]
     return _fwd_call(
@@ -260,6 +290,7 @@ def _fused_fwd_impl(wh, xproj, h0, c0, interpret):
         hidden=hidden,
         chunk_t=_pick_chunk(t),
         interpret=interpret,
+        save_residuals=save_residuals,
     )
 
 

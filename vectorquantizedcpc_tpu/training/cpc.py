@@ -28,7 +28,7 @@ import numpy as np
 import optax
 from flax import struct
 
-from ..configs import ConfGlobal
+from ..configs import ConfGlobal, resolve_compute_dtype
 from ..data.corpus import get_corpus
 from ..data.datasets import CPCMelSpkDataset
 from ..data.loader import PrefetchLoader
@@ -53,6 +53,22 @@ class CPCTrainState:
     vq: VQEMAState
     opt_state: Any
     epoch: jax.Array  # scalar int32 — completed epochs
+
+
+def _pallas_mode(conf) -> Tuple[bool, bool]:
+    """(use_pallas, interpret) for the fused LSTM in this process.
+
+    TPU: native kernel per runtime.use_pallas. Elsewhere the kernel only
+    runs when VQCPC_PALLAS_INTERPRET is set (Pallas interpret mode - used
+    by the CPU tests that pin sharded-kernel parity); default is the
+    lax.scan path.
+    """
+    import os
+
+    if jax.default_backend() == "tpu":
+        return conf.runtime.use_pallas, False
+    interp = bool(os.environ.get("VQCPC_PALLAS_INTERPRET"))
+    return conf.runtime.use_pallas and interp, interp
 
 
 def make_optimizer() -> optax.GradientTransformation:
@@ -92,15 +108,14 @@ def make_train_step(conf: ConfGlobal, mesh=None, inject_negatives: bool = False)
     cpc_conf = conf.model.cpc
     s = cpc_conf.n_speakers_per_batch
     u = cpc_conf.n_utterances_per_speaker
-    compute_dtype = jnp.dtype(conf.runtime.precision)
+    compute_dtype = resolve_compute_dtype(conf.runtime.precision)
     optimizer = make_optimizer()
-    # Fused Pallas LSTM: unsharded TPU programs only (a pallas_call has no
-    # GSPMD partitioning rule; with a mesh the scan path stays).
-    use_pallas = (
-        mesh is None
-        and conf.runtime.use_pallas
-        and jax.default_backend() == "tpu"
-    )
+    # Fused Pallas LSTM. Under a mesh the kernel runs inside a shard_map
+    # over the data axis (models/rnn.py:lstm_apply) - sharded trainers keep
+    # the fused-kernel win instead of silently falling back to lax.scan.
+    # VQCPC_PALLAS_INTERPRET=1 activates the kernel in Pallas interpret
+    # mode off-TPU (CPU parity tests of the sharded kernel path).
+    use_pallas, pallas_interpret = _pallas_mode(conf)
 
     def step(state: CPCTrainState, mels: jax.Array, rng, lr: jax.Array):
         # (Spk, Utt, Freq, T) -> (Spk*Utt, Freq, T): flatten like the
@@ -110,7 +125,8 @@ def make_train_step(conf: ConfGlobal, mesh=None, inject_negatives: bool = False)
         def loss_fn(params):
             z, c, new_vq, vq_loss, perplexity = encoder_forward(
                 params["enc"], state.vq, mels_flat, compute_dtype,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, mesh=mesh,
+                pallas_interpret=pallas_interpret,
             )
             if inject_negatives:
                 cpc_loss, accuracies = cpc_apply_with_indices(
@@ -185,13 +201,9 @@ def make_train_epoch(conf: ConfGlobal, mesh=None):
     cpc_conf = conf.model.cpc
     s = cpc_conf.n_speakers_per_batch
     u = cpc_conf.n_utterances_per_speaker
-    compute_dtype = jnp.dtype(conf.runtime.precision)
+    compute_dtype = resolve_compute_dtype(conf.runtime.precision)
     optimizer = make_optimizer()
-    use_pallas = (
-        mesh is None
-        and conf.runtime.use_pallas
-        and jax.default_backend() == "tpu"
-    )
+    use_pallas, pallas_interpret = _pallas_mode(conf)
 
     def one_step(carry, inputs):
         state, lr = carry
@@ -201,7 +213,8 @@ def make_train_epoch(conf: ConfGlobal, mesh=None):
         def loss_fn(params):
             z, c, new_vq, vq_loss, perplexity = encoder_forward(
                 params["enc"], state.vq, mels_flat, compute_dtype,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, mesh=mesh,
+                pallas_interpret=pallas_interpret,
             )
             cpc_loss, accuracies = cpc_apply(
                 params["cpc"], cpc_conf, z, c, rng,

@@ -31,7 +31,7 @@ import numpy as np
 import optax
 from flax import struct
 
-from ..configs import ConfGlobal
+from ..configs import ConfGlobal, resolve_compute_dtype
 from ..data.datamodule import VocoderDataModule as _VocoderDataModule  # noqa: F401 (setup below)
 from ..data.loader import PrefetchLoader
 from ..models.encoder import EncoderParams, encoder_encode, encoder_init
@@ -88,7 +88,7 @@ def make_train_step(conf: ConfGlobal, mesh=None):
     replicated), the frozen encoder params replicate, and the batch shards
     over the data axis."""
     net_conf = conf.training_vocoder.model.network
-    compute_dtype = jnp.dtype(conf.runtime.precision)
+    compute_dtype = resolve_compute_dtype(conf.runtime.precision)
     optimizer = make_optimizer(conf.training_vocoder.trainer.gradient_clip_val)
 
     def step(state, enc_params, vq_state, audio, mels, speakers, lr):
