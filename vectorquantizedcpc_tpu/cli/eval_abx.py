@@ -23,10 +23,112 @@ import argparse
 import json
 
 
+def _dry_run(workdir: str, epochs: int) -> None:
+    """One-command pipeline rehearsal: corpus -> preprocess -> train a tiny
+    CPC encoder -> encode -> ABX, on the synthetic corpus (VERDICT r3 #8).
+
+    Exercises the exact CLI chain the real ZeroSpeech2019 run needs
+    (reference README.md:89-102) so that when the corpus + a pretrained
+    checkpoint are available, only the paths change:
+
+        python -m ...cli.preprocess data.corpus.root=<zr19> ...
+        python -m ...cli.encode cpc_checkpoint=<ckpt> ...
+        python -m ...cli.eval_abx --features codes \\
+            --item-file <zr19>/.../1s.item
+
+    The dry run's score is ~chance (synthetic melodies aren't triphones);
+    what it validates is the plumbing end to end.
+    """
+    import subprocess
+    import sys
+    import tempfile
+    from pathlib import Path
+
+    ws = Path(workdir or tempfile.mkdtemp(prefix="vqcpc_abx_dry_"))
+
+    def run(module, *overrides):
+        cmd = [
+            sys.executable, "-m", f"vectorquantizedcpc_tpu.cli.{module}",
+            *overrides,
+        ]
+        print(f"\n$ {' '.join(cmd)}\n", flush=True)
+        subprocess.run(cmd, check=True)
+
+    tiny = [
+        "runtime.platform=cpu",
+        "model.encoder.channels=64",
+        "dim_latent=16",
+        "dim_cpc_context=32",
+        "size_latent_codebook=64",
+        "runtime.precision=float32",
+    ]
+    data = [
+        "data.dataset.name=synthetic",
+        f"data.corpus.root={ws}/corpus",
+        f"data.dataset.adress_data_root={ws}/features",
+    ]
+    # download-corpus + preprocess (the synthetic corpus materializes on
+    # first use through the same Corpus.prepare path ZR19 download uses).
+    run("preprocess", *data, f"out_dir={ws}/features")
+    run(
+        "train_cpc", *tiny, *data,
+        f"checkpoint_dir={ws}/ckpt",
+        "training.cpc.sample_frames=32",
+        "training.cpc.n_speakers_per_batch=4",
+        "training.cpc.n_utterances_per_speaker=4",
+        "training.cpc.n_negatives=5",
+        f"training.cpc.n_epochs={epochs}",
+        "training.cpc.scheduler.warmup_epochs=3",
+        f"training.cpc.scheduler.milestones=[{max(4, epochs - 2)}]",
+        f"training.cpc.checkpoint_interval={epochs}",
+        "training.cpc.log_interval=20",
+    )
+    run(
+        "encode", *tiny,
+        f"cpc_checkpoint={ws}/ckpt/model.ckpt-{epochs}",
+        f"in_dir={ws}/features", f"out_dir={ws}/codes",
+    )
+    # Labels from the synthetic corpus naming (V<spk>/<spk>_<utt>.wav):
+    # category = utterance slot, speaker = directory name.
+    items = {}
+    for p in sorted(Path(f"{ws}/codes").glob("*.txt")):
+        spk, utt = p.stem.split("_", 1)
+        items[p.stem] = {"category": f"u{utt}", "speaker": spk}
+    with open(ws / "items.json", "w") as f:
+        json.dump(items, f)
+
+    from ..eval.abx import abx_error_rate, load_feature_dir
+
+    feats, cats, spks = load_feature_dir(f"{ws}/codes", str(ws / "items.json"))
+    err = abx_error_rate(feats, cats, spks, across=True)
+    assert 0.0 <= err <= 1.0
+    print(
+        json.dumps(
+            {
+                "abx_error_rate": round(err, 6),
+                "dry_run": True,
+                "workdir": str(ws),
+                "n_items": len(feats),
+            }
+        )
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--features", required=True, help="dir of <stem>.txt dumps")
-    group = ap.add_mutually_exclusive_group(required=True)
+    ap.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="rehearse the full chain (synthetic corpus -> preprocess -> "
+        "tiny CPC train -> encode -> ABX) in one command; score is "
+        "~chance, the point is validating the plumbing",
+    )
+    ap.add_argument("--workdir", default=None, help="--dry-run scratch dir")
+    ap.add_argument(
+        "--dry-run-epochs", type=int, default=6, help="--dry-run train length"
+    )
+    ap.add_argument("--features", help="dir of <stem>.txt dumps")
+    group = ap.add_mutually_exclusive_group(required=False)
     group.add_argument("--items", help="items JSON (see docstring)")
     group.add_argument(
         "--item-file",
@@ -54,6 +156,15 @@ def main() -> None:
         help="force a jax backend (e.g. cpu); default: auto",
     )
     args = ap.parse_args()
+
+    if args.dry_run:
+        _dry_run(args.workdir, args.dry_run_epochs)
+        return
+    if not args.features or not (args.items or args.item_file):
+        ap.error(
+            "--features plus one of --items/--item-file is required "
+            "(or use --dry-run)"
+        )
 
     if args.platform:
         import jax

@@ -83,13 +83,19 @@ def cpc_apply_with_indices(
     seq_index: jax.Array,
     exclude_self_negatives: bool = False,
     return_scores: bool = False,
+    fast_scores: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """InfoNCE scoring given precomputed negative indices (testable core).
 
     ``return_scores`` additionally returns the scaled logits ``f`` of
     shape (K, S*U, 1+Neg, L) (positive fixed at class 0) — used by the
     lockstep parity test to derive a tie-adjusted accuracy bound from the
-    measured cross-framework score drift."""
+    measured cross-framework score drift.
+
+    ``fast_scores`` keeps the similarity/selection chain in bfloat16 (the
+    bf16-training configuration; see the precision-policy comment below).
+    Exact f32 scoring is the default and what the reference-parity tests
+    pin."""
     s = conf.n_speakers_per_batch
     u = conf.n_utterances_per_speaker
     k_steps = conf.n_prediction_steps // 2
@@ -129,39 +135,54 @@ def cpc_apply_with_indices(
     # (materializing two (K,S,U,Neg,L,Z) tensors, ~43 MB each) and reduced
     # them against wc elementwise — together >1 ms/step of HBM-bound work
     # at reference shape. Instead: ONE batched MXU matmul scores every
-    # anchor against every within-speaker candidate frame (sim is ~1.6
-    # GFLOP — microseconds), and the negative selection contracts the
-    # one-hots against sim SCORES (scalars, not 64-vectors): stage g1
-    # contracts the time one-hot over M, stage f_neg the utterance one-hot
-    # over V. No (...,Z) negative tensor ever exists, and the backward is
-    # two clean (512, 512) @ (512, 64)-class matmuls into d_wc / d_z.
-    # Selection by 0/1 contraction is exact PROVIDED the matmuls run at
-    # HIGHEST precision: TPU's default matmul precision casts f32 inputs
-    # to single-pass bf16, which would perturb the selected scores by
-    # ~4e-3 relative — swamping the 1e-5 tie-break epsilon below and
-    # deflating the accuracy metric by the code-collision rate. Each
-    # one-hot contraction has exactly one nonzero term per output, so at
-    # HIGHEST the sim values pass through bit-exactly. sim itself also
-    # runs HIGHEST so a tie-collision negative reproduces f_pos's f32
-    # value to ~1 ulp (measured: ~50 us of the 2.2 ms step). A plain
-    # fancy-index gather is NOT an option here: XLA's TPU gather ran
-    # this shape at ~13 ms/step when tried.
+    # anchor against every within-speaker candidate frame, and the negative
+    # selection contracts the one-hots against sim SCORES (scalars, not
+    # 64-vectors): stage g1 contracts the time one-hot over M, stage f_neg
+    # the utterance one-hot over V. No (...,Z) negative tensor ever exists.
+    # A plain fancy-index gather is NOT an option here: XLA's TPU gather
+    # ran this shape at ~13 ms/step when tried.
+    #
+    # Precision policy (r4; benchmarks/xprof_cpc.py): the selection chain
+    # is HBM-bound on the (K,S,U,L,V,M) sim tensor — 100 MB in f32, and
+    # XLA lowers the one-hot contractions to gather/scatter-style fusions
+    # whose cost scales with those bytes (measured 1.6 ms of the 2.65 ms
+    # step: sim 248 us + relayout copy 153 us + select 484 us + backward
+    # scatter 359 us + d_wc/d_z 380 us). Two modes:
+    #
+    # - ``fast_scores`` (bf16 training): sim computed from bf16 inputs and
+    #   KEPT bf16 — halves every byte the chain moves. Scores then carry
+    #   ~bf16-relative noise, so the accuracy tie-break below widens to a
+    #   bf16-matched tolerance: exact codeword ties (which are exact in
+    #   the f32 value domain) stay within it, at the cost of also counting
+    #   genuine sub-1e-2 near-losses as correct. Loss/gradients see the
+    #   same noise — irrelevant against bf16 activations upstream.
+    # - exact mode (f32 / parity / CPU): sim and both one-hot contractions
+    #   run at HIGHEST so each selection passes sim values through
+    #   bit-exactly (one nonzero term per output) and a tie-collision
+    #   negative reproduces f_pos's f32 value to ~1 ulp; the 1e-5 epsilon
+    #   then only has to absorb accumulation-order noise.
+    if fast_scores:
+        sim_dtype, prec = jnp.bfloat16, None
+    else:
+        sim_dtype, prec = jnp.float32, jax.lax.Precision.HIGHEST
     sim = jnp.einsum(
         "ksulz,ksvmz->ksulvm",
-        wc,
-        z_shift.astype(wc.dtype),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        wc.astype(jnp.bfloat16) if fast_scores else wc,
+        z_shift.astype(jnp.bfloat16 if fast_scores else wc.dtype),
+        preferred_element_type=sim_dtype,
+        precision=prec,
     )  # (K, S, U, L, V, M): anchor (u, l) x same-speaker candidate (v, m)
     onehot_t = (seq_index[..., None] == jnp.arange(length)).astype(sim.dtype)
     g1 = jnp.einsum(
         "ksulvm,ksunlm->ksunlv", sim, onehot_t,
-        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=sim_dtype,
+        precision=prec,
     )  # (K, S, U, Neg, L, V): time-selected scores, all utterances
     onehot_u = (utt_index[..., None] == jnp.arange(u)).astype(sim.dtype)
     f_neg = jnp.einsum(
         "ksunlv,kunv->ksunl", g1, onehot_u,
-        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+        precision=prec,
     )
 
     # Positive scores: the elementwise diagonal (z_shift is already the
@@ -181,12 +202,13 @@ def cpc_apply_with_indices(
     # exact score tie, which the reference's argmax counts as correct
     # (first index wins, torch.argmax semantics; model.py:307-312). Here
     # f_pos (elementwise reduce) and f_neg (sim matmul) accumulate in
-    # different orders, so a true tie can differ by ~1 ulp and a plain
-    # argmax would break ~half such ties toward the negative, deflating
-    # the metric by the code-collision rate (measured ~0.25 early in
-    # training). The epsilon only affects the reported metric, not the
-    # loss/gradients; for non-degenerate scores P(|gap| < eps) ~ 0.
-    tol = 1e-5 * (1.0 + jnp.abs(f[:, :, :1, :]))
+    # different orders, so a true tie can differ by ~1 ulp (exact mode) or
+    # ~bf16 noise (fast_scores) and a plain argmax would break ~half such
+    # ties toward the negative, deflating the metric by the code-collision
+    # rate (measured ~0.25 early in training). The epsilon only affects
+    # the reported metric, not the loss/gradients.
+    eps = 1e-2 if fast_scores else 1e-5
+    tol = eps * (1.0 + jnp.abs(f[:, :, :1, :]))
     accuracies = jnp.mean(
         (f[:, :, :1, :] + tol >= jnp.max(f[:, :, 1:, :], axis=2, keepdims=True))
         .astype(jnp.float32),
@@ -205,6 +227,7 @@ def cpc_apply(
     c: jax.Array,
     rng: jax.Array,
     exclude_self_negatives: bool = False,
+    fast_scores: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """InfoNCE over k = 1..n_prediction_steps//2 future steps.
 
@@ -219,5 +242,6 @@ def cpc_apply(
     length = z.shape[1] - k_steps
     utt_index, seq_index = sample_negative_indices(conf, rng, length)
     return cpc_apply_with_indices(
-        params, conf, z, c, utt_index, seq_index, exclude_self_negatives
+        params, conf, z, c, utt_index, seq_index, exclude_self_negatives,
+        fast_scores=fast_scores,
     )

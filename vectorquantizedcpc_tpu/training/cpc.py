@@ -116,6 +116,10 @@ def make_train_step(conf: ConfGlobal, mesh=None, inject_negatives: bool = False)
     # VQCPC_PALLAS_INTERPRET=1 activates the kernel in Pallas interpret
     # mode off-TPU (CPU parity tests of the sharded kernel path).
     use_pallas, pallas_interpret = _pallas_mode(conf)
+    # bf16 training keeps the CPC similarity/selection chain in bf16 too
+    # (halves its HBM traffic, the dominant cost of the step; precision
+    # policy + measurements in models/cpc.py).
+    fast_scores = compute_dtype == jnp.dtype(jnp.bfloat16)
 
     def step(state: CPCTrainState, mels: jax.Array, rng, lr: jax.Array):
         # (Spk, Utt, Freq, T) -> (Spk*Utt, Freq, T): flatten like the
@@ -132,11 +136,13 @@ def make_train_step(conf: ConfGlobal, mesh=None, inject_negatives: bool = False)
                 cpc_loss, accuracies = cpc_apply_with_indices(
                     params["cpc"], cpc_conf, z, c, rng[0], rng[1],
                     exclude_self_negatives=conf.training.cpc.exclude_self_negatives,
+                    fast_scores=fast_scores,
                 )
             else:
                 cpc_loss, accuracies = cpc_apply(
                     params["cpc"], cpc_conf, z, c, rng,
                     exclude_self_negatives=conf.training.cpc.exclude_self_negatives,
+                    fast_scores=fast_scores,
                 )
             total = cpc_loss + vq_loss
             return total, (new_vq, cpc_loss, vq_loss, perplexity, accuracies)
@@ -204,6 +210,10 @@ def make_train_epoch(conf: ConfGlobal, mesh=None):
     compute_dtype = resolve_compute_dtype(conf.runtime.precision)
     optimizer = make_optimizer()
     use_pallas, pallas_interpret = _pallas_mode(conf)
+    # bf16 training keeps the CPC similarity/selection chain in bf16 too
+    # (halves its HBM traffic, the dominant cost of the step; precision
+    # policy + measurements in models/cpc.py).
+    fast_scores = compute_dtype == jnp.dtype(jnp.bfloat16)
 
     def one_step(carry, inputs):
         state, lr = carry
@@ -219,6 +229,7 @@ def make_train_epoch(conf: ConfGlobal, mesh=None):
             cpc_loss, accuracies = cpc_apply(
                 params["cpc"], cpc_conf, z, c, rng,
                 exclude_self_negatives=conf.training.cpc.exclude_self_negatives,
+                fast_scores=fast_scores,
             )
             return cpc_loss + vq_loss, (new_vq, cpc_loss, vq_loss, perplexity, accuracies)
 
