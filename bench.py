@@ -180,10 +180,17 @@ def main() -> None:
                         params, net, z, s, key, precision=p
                     )
                 )
-                dt = _bench(
-                    lambda i, d=decode: d(jax.random.key(i)),
-                    n_rep=4, min_of=True,
-                )
+
+                # 3 pipelined decodes per rep, one block: charging the
+                # ~25 ms tunneled sync RTT to every 2-s decode would
+                # inflate RTF by ~0.012 (r3 numbers did; a real TPU host's
+                # sync is microseconds).
+                def run3(i, d=decode):
+                    for j in range(3):
+                        out = d(jax.random.key(3 * i + j))
+                    return out
+
+                dt = _bench(run3, n_rep=3, min_of=True) / 3
             except Exception:
                 errors.append(
                     f"decode[b{batch},{precision}]: "
@@ -400,16 +407,24 @@ def main() -> None:
         train_epoch = make_train_epoch(conf)
         holder = {"state": state}
 
+        epochs_per_rep = 3
+
         def run(i):
-            holder["state"], metrics = train_epoch(
-                holder["state"], epoch_mels, np.float32(4e-4)
-            )
+            # Pipeline several epoch dispatches per rep, block once: the
+            # shipped loop runs epochs back-to-back and fetches metrics
+            # every log_interval=10 epochs (training/cpc.py), so charging
+            # one ~25 ms tunnel sync RTT to every epoch (xprof: the
+            # 50-step epoch is 83.5 ms ON DEVICE vs ~109 ms blocked-wall)
+            # would under-report the shipped throughput by ~25%.
+            for _ in range(epochs_per_rep):
+                holder["state"], metrics = train_epoch(
+                    holder["state"], epoch_mels, np.float32(4e-4)
+                )
             return metrics["loss"]
 
-        # min-of-N (pinned methodology, VERDICT r1 weak #5): each rep is one
-        # 50-step epoch dispatch, long enough that dispatch latency is
-        # amortized; min discards tunnel-noise outliers.
-        dt = _bench(run, n_rep=5, min_of=True) / n_batches
+        # min-of-N (pinned methodology, VERDICT r1 weak #5): min discards
+        # tunnel-noise outliers.
+        dt = _bench(run, n_rep=5, min_of=True) / (n_batches * epochs_per_rep)
         result["cpc_train_steps_per_s"] = round(1.0 / dt, 1)
         result["cpc_train_steps_per_dispatch"] = n_batches
         result["cpc_vs_p100"] = round(1.0 / dt / 15.5, 2)  # README.md:106
@@ -450,7 +465,7 @@ def main() -> None:
             ).astype(np.int32)
         )
         vholder = {"state": vstate}
-        steps_per_rep = 5
+        steps_per_rep = 10  # amortize the ~25 ms per-rep tunnel sync
 
         def vrun(i):
             # One rep = several pipelined steps (amortizes dispatch), timed

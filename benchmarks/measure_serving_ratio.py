@@ -48,7 +48,7 @@ def main():
 
     buckets = [25, 50, 100]
     server = ContinuousBatcher(
-        params, net, slots=32, segment_frames=8,
+        params, net, slots=32, segment_frames=4,
         max_frames=2 * max(buckets) + 32,
     )
     reqs = [
@@ -80,6 +80,25 @@ def main():
           f"{valid/best_host/1e6:.2f} M/s host, "
           f"ratio vs b32 kernel {valid/best_dev/kernel_sps:.3f}, "
           f"host/dev {best_dev/best_host:.3f}", flush=True)
+
+    # RTT-amortized (pipelined) boundary, both sides — bench.py's
+    # serving_vs_b32_kernel_inproc methodology.
+    n_pipe = 3
+    t0 = time.time()
+    for rep in range(n_pipe):
+        for z_, s_ in reqs:
+            server.submit(z_, s_)
+        server.run(materialize=False, wait=(rep == n_pipe - 1))
+        server._pending.clear()
+        server._results.clear()
+    sp = n_pipe * valid / (time.time() - t0)
+    t0 = time.time()
+    for i in range(n_pipe):
+        out = decode(jax.random.key(10 + i))
+    jax.block_until_ready(out)
+    kp = n_pipe * 32 * t_decode / (time.time() - t0)
+    print(f"pipelined: serving {sp/1e6:.2f} M/s, kernel {kp/1e6:.2f} M/s, "
+          f"inproc ratio {sp/kp:.3f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -178,6 +178,9 @@ class ContinuousBatcher:
         self._next_rid = 0
         self._step_count = 0
         self._seed = seed
+        # Device-resident base PRNG key (per-chunk keys fold in on device;
+        # creating a fresh key per drain would be one H2D per chunk).
+        self._base_key = jax.random.key(seed)
         self._samples_out = 0
         self._dispatch_wall = 0.0
         self._cond_cache: Dict[int, Callable] = {}
@@ -319,7 +322,7 @@ class ContinuousBatcher:
         positions = jnp.asarray(
             [s.pos_frames for s in self._slot_meta], jnp.int32
         )
-        key = jax.random.fold_in(jax.random.key(self._seed), self._step_count)
+        key = jax.random.fold_in(self._base_key, self._step_count)
         self._step_count += 1
         self._state, self._out_buf = self._step_fn(
             self._pool, positions, self._state, self._out_buf, key
@@ -628,21 +631,25 @@ class ContinuousBatcher:
 
         # Dispatch order: the NEXT chunk is always enqueued before the
         # previous chunks' reassembly gathers, so the device never idles
-        # waiting on host-side gather/copy bookkeeping (each host->device
-        # dispatch costs ~ms on a tunneled link); the gathers still overlap
-        # the remaining chunks' execution on-stream.
+        # waiting on host-side gather/copy bookkeeping; the gathers still
+        # overlap the remaining chunks' execution on-stream. The whole
+        # schedule uploads in ONE host->device transfer per table (r4: the
+        # former per-chunk np.stack+asarray cost one H2D round per chunk
+        # per table on tunneled links); per-chunk inputs are then eager
+        # device-side slices (pure dispatches, no further transfers).
+        rows_all = jnp.asarray(np.stack(rows_t))
+        pos_all = jnp.asarray(np.stack(pos_t))
+        fresh_all = jnp.asarray(np.stack(fresh_t))
+        base_key = self._base_key
         prev_done = 0
         for k in _chunk_sizes(n_steps):
-            rows_j = jnp.asarray(np.stack(rows_t[done_steps : done_steps + k]))
-            pos_j = jnp.asarray(np.stack(pos_t[done_steps : done_steps + k]))
-            fresh_j = jnp.asarray(
-                np.stack(fresh_t[done_steps : done_steps + k])
-            )
+            sl = slice(done_steps, done_steps + k)
             key = jax.random.fold_in(
-                jax.random.key(self._seed), self._step_count + done_steps
+                base_key, self._step_count + done_steps
             )
             h, prev, ys = self._drain_fn(k)(
-                self._weights, staging, rows_j, pos_j, fresh_j, h, prev, key
+                self._weights, staging,
+                rows_all[sl], pos_all[sl], fresh_all[sl], h, prev, key,
             )
             ys_parts.append(ys)
             prev_done, done_steps = done_steps, done_steps + k
