@@ -390,7 +390,7 @@ class ContinuousBatcher:
         links, where one blocked sync costs ~25 ms.
         """
         if self._queue or any(s.rid is not None for s in self._slot_meta):
-            self._drain_planned(wait=wait)
+            self._drain_planned(wait=wait, prefetch=materialize)
         if not materialize:
             return dict(self._results)
         for rid in list(self._pending):
@@ -407,7 +407,7 @@ class ContinuousBatcher:
 
     # ------------------------------------------------- planned drain (run)
 
-    def _drain_planned(self, wait: bool = True) -> None:
+    def _drain_planned(self, wait: bool = True, prefetch: bool = True) -> None:
         import os
 
         debug = bool(os.environ.get("VQCPC_SERVING_DEBUG"))
@@ -451,18 +451,17 @@ class ContinuousBatcher:
                 _pow2(max(z.shape[0] for _r, z, _s in new_reqs)),
                 self._max_frames // 2,
             )
-            zs = np.zeros((g_pad, mc_pad), np.int32)
-            spks = np.zeros((g_pad,), np.int32)
-            nf = np.zeros((g_pad,), np.int32)
+            # One packed upload (codes | speaker | n_frames): every small
+            # host->device transfer costs link latency on tunneled chips.
+            packed = np.zeros((g_pad, mc_pad + 2), np.int32)
             for j, (rid, z, spk) in enumerate(new_reqs):
-                zs[j, : z.shape[0]], spks[j] = z, spk
-                nf[j] = 2 * z.shape[0]
+                packed[j, : z.shape[0]] = z
+                packed[j, mc_pad] = spk
+                packed[j, mc_pad + 1] = 2 * z.shape[0]
                 rid_row[rid] = row + j
                 rid_total[rid] = 2 * z.shape[0]
             parts.append(
-                self._ragged_cond(mc_pad, g_pad)(
-                    jnp.asarray(zs), jnp.asarray(spks), jnp.asarray(nf)
-                )
+                self._ragged_cond(mc_pad, g_pad)(jnp.asarray(packed))
             )
             row += g_pad
         elif new_reqs:
@@ -620,10 +619,16 @@ class ContinuousBatcher:
                     dev = self._bucket_gather(total)(
                         timeline, jnp.asarray(steps_a), jnp.asarray(slots_a)
                     )
-                try:  # overlap D2H with the rest of the drain (best effort)
-                    dev.copy_to_host_async()
-                except Exception:
-                    pass
+                if prefetch:
+                    # Overlap D2H with the rest of the drain (best effort).
+                    # Skipped when the caller defers materialization
+                    # (run(materialize=False)): on tunneled links the
+                    # mid-drain D2H streams compete with dispatch traffic
+                    # and throttle the drain itself.
+                    try:
+                        dev.copy_to_host_async()
+                    except Exception:
+                        pass
                 bucket = {"dev": dev, "np": None}
                 for j, rid in enumerate(rids):
                     self._pending[rid] = ("bucket", bucket, j)
@@ -637,9 +642,17 @@ class ContinuousBatcher:
         # former per-chunk np.stack+asarray cost one H2D round per chunk
         # per table on tunneled links); per-chunk inputs are then eager
         # device-side slices (pure dispatches, no further transfers).
-        rows_all = jnp.asarray(np.stack(rows_t))
-        pos_all = jnp.asarray(np.stack(pos_t))
-        fresh_all = jnp.asarray(np.stack(fresh_t))
+        sched = jnp.asarray(
+            np.stack(
+                [
+                    np.stack(rows_t),
+                    np.stack(pos_t),
+                    np.stack(fresh_t).astype(np.int32),
+                ]
+            )
+        )  # (3, n_steps, slots) — ONE upload for the whole schedule
+        rows_all, pos_all = sched[0], sched[1]
+        fresh_all = sched[2].astype(jnp.bool_)
         base_key = self._base_key
         prev_done = 0
         for k in _chunk_sizes(n_steps):
@@ -685,7 +698,10 @@ class ContinuousBatcher:
         if key not in self._group_cond_cache:
             from ..models.vocoder import build_conditioning_frames_ragged
 
-            def cond(zs, spks, nf):  # (G, mc_pad), (G,), (G,)
+            def cond(packed):  # (G, mc_pad + 2) int32: codes | spk | frames
+                zs = packed[:, :mc_pad]
+                spks = packed[:, mc_pad]
+                nf = packed[:, mc_pad + 1]
                 c = project_cond_frames(
                     self._weights,
                     build_conditioning_frames_ragged(
