@@ -296,3 +296,41 @@ def test_tiebreak_epsilon_property(rng):
     np.testing.assert_allclose(
         np.asarray(accs, np.float64), dec_our.mean(axis=(1, 2)), atol=1e-7
     )
+
+
+def test_select_kernel_matches_xla_paths(setup):
+    """The fused Pallas selection kernel (ops/cpc_select.py, interpret
+    mode) == the exact XLA one-hot formulation: loss/accuracies equal and
+    gradients match to fp accumulation noise."""
+    params, z, c = setup
+    t = z.shape[1]
+    length = t - CONF.n_prediction_steps // 2
+    utt_idx, seq_idx = sample_negative_indices(CONF, jax.random.key(5), length)
+
+    loss_x, accs_x = cpc_apply_with_indices(
+        params, CONF, jnp.asarray(z), jnp.asarray(c), utt_idx, seq_idx
+    )
+    loss_k, accs_k = cpc_apply_with_indices(
+        params, CONF, jnp.asarray(z), jnp.asarray(c), utt_idx, seq_idx,
+        select_kernel=True, select_interpret=True,
+    )
+    np.testing.assert_allclose(float(loss_k), float(loss_x), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(accs_k), np.asarray(accs_x), atol=1e-7
+    )
+
+    def loss_fn(p, kernel):
+        l, _ = cpc_apply_with_indices(
+            p, CONF, jnp.asarray(z), jnp.asarray(c), utt_idx, seq_idx,
+            select_kernel=kernel, select_interpret=kernel,
+        )
+        return l
+
+    g_x = jax.grad(lambda p: loss_fn(p, False))(params)
+    g_k = jax.grad(lambda p: loss_fn(p, True))(params)
+    np.testing.assert_allclose(
+        np.asarray(g_k.w), np.asarray(g_x.w), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_k.b), np.asarray(g_x.b), atol=1e-6
+    )

@@ -84,6 +84,9 @@ def cpc_apply_with_indices(
     exclude_self_negatives: bool = False,
     return_scores: bool = False,
     fast_scores: bool = False,
+    select_kernel: bool = False,
+    select_interpret: bool = False,
+    mesh=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """InfoNCE scoring given precomputed negative indices (testable core).
 
@@ -95,7 +98,13 @@ def cpc_apply_with_indices(
     ``fast_scores`` keeps the similarity/selection chain in bfloat16 (the
     bf16-training configuration; see the precision-policy comment below).
     Exact f32 scoring is the default and what the reference-parity tests
-    pin."""
+    pin.
+
+    ``select_kernel`` routes the scoring+selection through the fused
+    Pallas kernel (ops/cpc_select.py): per-(k, s) VMEM-resident tiles, no
+    HBM similarity tensor at all, and EXACT f32 selection — strictly
+    faster than either XLA mode on TPU, so the trainers prefer it there
+    (``select_interpret`` runs it in interpret mode for CPU tests)."""
     s = conf.n_speakers_per_batch
     u = conf.n_utterances_per_speaker
     k_steps = conf.n_prediction_steps // 2
@@ -161,29 +170,66 @@ def cpc_apply_with_indices(
     #   bit-exactly (one nonzero term per output) and a tie-collision
     #   negative reproduces f_pos's f32 value to ~1 ulp; the 1e-5 epsilon
     #   then only has to absorb accumulation-order noise.
-    if fast_scores:
+    if select_kernel and mesh is not None:
+        from ..parallel.mesh import DATA_AXIS as _DA
+
+        if s % mesh.shape[_DA] != 0:
+            select_kernel = False  # speaker axis doesn't shard: XLA path
+    if select_kernel:
+        from ..ops.cpc_select import cpc_negative_scores
+
+        wc32 = wc.astype(jnp.float32)
+        zs32 = z_shift.astype(jnp.float32)
+        if mesh is not None:
+            # Like the fused LSTM (models/rnn.py): a pallas_call has no
+            # GSPMD rule, so under a mesh the kernel runs per-shard inside
+            # a shard_map over the data axis — the speaker axis is the
+            # data-sharded one and the scoring is per-(k, s) local.
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            dp5 = P(None, DATA_AXIS, None, None, None)
+            f_neg = jax.shard_map(
+                lambda a, b, ui, si: cpc_negative_scores(
+                    a, b, ui, si, select_interpret
+                ),
+                mesh=mesh,
+                in_specs=(dp5, dp5, P(), dp5),
+                out_specs=dp5,
+                check_vma=False,
+            )(wc32, zs32, utt_index, seq_index)
+        else:
+            f_neg = cpc_negative_scores(
+                wc32, zs32, utt_index, seq_index, select_interpret
+            )
+        fast_scores = False  # kernel selection is exact f32
+    elif fast_scores:
         sim_dtype, prec = jnp.bfloat16, None
     else:
         sim_dtype, prec = jnp.float32, jax.lax.Precision.HIGHEST
-    sim = jnp.einsum(
-        "ksulz,ksvmz->ksulvm",
-        wc.astype(jnp.bfloat16) if fast_scores else wc,
-        z_shift.astype(jnp.bfloat16 if fast_scores else wc.dtype),
-        preferred_element_type=sim_dtype,
-        precision=prec,
-    )  # (K, S, U, L, V, M): anchor (u, l) x same-speaker candidate (v, m)
-    onehot_t = (seq_index[..., None] == jnp.arange(length)).astype(sim.dtype)
-    g1 = jnp.einsum(
-        "ksulvm,ksunlm->ksunlv", sim, onehot_t,
-        preferred_element_type=sim_dtype,
-        precision=prec,
-    )  # (K, S, U, Neg, L, V): time-selected scores, all utterances
-    onehot_u = (utt_index[..., None] == jnp.arange(u)).astype(sim.dtype)
-    f_neg = jnp.einsum(
-        "ksunlv,kunv->ksunl", g1, onehot_u,
-        preferred_element_type=jnp.float32,
-        precision=prec,
-    )
+    if not select_kernel:
+        sim = jnp.einsum(
+            "ksulz,ksvmz->ksulvm",
+            wc.astype(jnp.bfloat16) if fast_scores else wc,
+            z_shift.astype(jnp.bfloat16 if fast_scores else wc.dtype),
+            preferred_element_type=sim_dtype,
+            precision=prec,
+        )  # (K, S, U, L, V, M): anchor (u, l) x same-speaker candidate (v, m)
+        onehot_t = (
+            seq_index[..., None] == jnp.arange(length)
+        ).astype(sim.dtype)
+        g1 = jnp.einsum(
+            "ksulvm,ksunlm->ksunlv", sim, onehot_t,
+            preferred_element_type=sim_dtype,
+            precision=prec,
+        )  # (K, S, U, Neg, L, V): time-selected scores, all utterances
+        onehot_u = (utt_index[..., None] == jnp.arange(u)).astype(sim.dtype)
+        f_neg = jnp.einsum(
+            "ksunlv,kunv->ksunl", g1, onehot_u,
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
 
     # Positive scores: the elementwise diagonal (z_shift is already the
     # (k-shifted) positive series) — cheap, and keeps f_pos's accumulation
@@ -228,6 +274,9 @@ def cpc_apply(
     rng: jax.Array,
     exclude_self_negatives: bool = False,
     fast_scores: bool = False,
+    select_kernel: bool = False,
+    select_interpret: bool = False,
+    mesh=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """InfoNCE over k = 1..n_prediction_steps//2 future steps.
 
@@ -244,4 +293,6 @@ def cpc_apply(
     return cpc_apply_with_indices(
         params, conf, z, c, utt_index, seq_index, exclude_self_negatives,
         fast_scores=fast_scores,
+        select_kernel=select_kernel, select_interpret=select_interpret,
+        mesh=mesh,
     )

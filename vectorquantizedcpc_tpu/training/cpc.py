@@ -116,10 +116,14 @@ def make_train_step(conf: ConfGlobal, mesh=None, inject_negatives: bool = False)
     # VQCPC_PALLAS_INTERPRET=1 activates the kernel in Pallas interpret
     # mode off-TPU (CPU parity tests of the sharded kernel path).
     use_pallas, pallas_interpret = _pallas_mode(conf)
-    # bf16 training keeps the CPC similarity/selection chain in bf16 too
-    # (halves its HBM traffic, the dominant cost of the step; precision
-    # policy + measurements in models/cpc.py).
-    fast_scores = compute_dtype == jnp.dtype(jnp.bfloat16)
+    # CPC scoring path: the fused Pallas selection kernel when the Pallas
+    # mode is on (exact f32, no HBM sim tensor — ops/cpc_select.py);
+    # otherwise bf16 training keeps the XLA similarity/selection chain in
+    # bf16 (halves its HBM traffic; precision policy in models/cpc.py).
+    select_kernel = use_pallas
+    fast_scores = (
+        not select_kernel and compute_dtype == jnp.dtype(jnp.bfloat16)
+    )
 
     def step(state: CPCTrainState, mels: jax.Array, rng, lr: jax.Array):
         # (Spk, Utt, Freq, T) -> (Spk*Utt, Freq, T): flatten like the
@@ -137,12 +141,18 @@ def make_train_step(conf: ConfGlobal, mesh=None, inject_negatives: bool = False)
                     params["cpc"], cpc_conf, z, c, rng[0], rng[1],
                     exclude_self_negatives=conf.training.cpc.exclude_self_negatives,
                     fast_scores=fast_scores,
+                    select_kernel=select_kernel,
+                    select_interpret=pallas_interpret,
+                    mesh=mesh,
                 )
             else:
                 cpc_loss, accuracies = cpc_apply(
                     params["cpc"], cpc_conf, z, c, rng,
                     exclude_self_negatives=conf.training.cpc.exclude_self_negatives,
                     fast_scores=fast_scores,
+                    select_kernel=select_kernel,
+                    select_interpret=pallas_interpret,
+                    mesh=mesh,
                 )
             total = cpc_loss + vq_loss
             return total, (new_vq, cpc_loss, vq_loss, perplexity, accuracies)
@@ -210,10 +220,14 @@ def make_train_epoch(conf: ConfGlobal, mesh=None):
     compute_dtype = resolve_compute_dtype(conf.runtime.precision)
     optimizer = make_optimizer()
     use_pallas, pallas_interpret = _pallas_mode(conf)
-    # bf16 training keeps the CPC similarity/selection chain in bf16 too
-    # (halves its HBM traffic, the dominant cost of the step; precision
-    # policy + measurements in models/cpc.py).
-    fast_scores = compute_dtype == jnp.dtype(jnp.bfloat16)
+    # CPC scoring path: the fused Pallas selection kernel when the Pallas
+    # mode is on (exact f32, no HBM sim tensor — ops/cpc_select.py);
+    # otherwise bf16 training keeps the XLA similarity/selection chain in
+    # bf16 (halves its HBM traffic; precision policy in models/cpc.py).
+    select_kernel = use_pallas
+    fast_scores = (
+        not select_kernel and compute_dtype == jnp.dtype(jnp.bfloat16)
+    )
 
     def one_step(carry, inputs):
         state, lr = carry
@@ -230,6 +244,9 @@ def make_train_epoch(conf: ConfGlobal, mesh=None):
                 params["cpc"], cpc_conf, z, c, rng,
                 exclude_self_negatives=conf.training.cpc.exclude_self_negatives,
                 fast_scores=fast_scores,
+                select_kernel=select_kernel,
+                select_interpret=pallas_interpret,
+                mesh=mesh,
             )
             return cpc_loss + vq_loss, (new_vq, cpc_loss, vq_loss, perplexity, accuracies)
 
