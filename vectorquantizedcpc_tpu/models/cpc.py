@@ -124,12 +124,13 @@ def cpc_apply_with_indices(
     wc = wc.reshape(k_steps, s, u, length, z_dim)
 
     # ---- Positive series, all K at once: z[t + k] for k = 1..K. ----------
-    # time_idx[k, l] = l + k + 1  -> (K, L) gather on the time axis.
-    time_idx = (
-        jnp.arange(length)[None, :] + jnp.arange(1, k_steps + 1)[:, None]
-    )  # (K, L)
-    z_shift = z[:, :, time_idx, :]  # (S, U, K, L, Z)
-    z_shift = jnp.moveaxis(z_shift, 2, 0)  # (K, S, U, L, Z)
+    # Built as K static slices stacked directly in (K, S, U, L, Z) order:
+    # the equivalent fancy-index gather + moveaxis lowered to a gather
+    # fusion plus a 12 MB relayout copy (~52 us/step, xprof r4); slices
+    # are bit-identical and fuse into plain copies.
+    z_shift = jnp.stack(
+        [z[:, :, k + 1 : k + 1 + length] for k in range(k_steps)], axis=0
+    )  # (K, S, U, L, Z)
 
     if exclude_self_negatives:
         # Optional fix for the reference's self-negative flaw: a sample is
