@@ -191,17 +191,18 @@ def cpc_apply_with_indices(
             from ..parallel.mesh import DATA_AXIS
 
             dp5 = P(None, DATA_AXIS, None, None, None)
-            f_neg = jax.shard_map(
+            dp4 = P(None, DATA_AXIS, None, None)
+            f_neg, f_pos_k = jax.shard_map(
                 lambda a, b, ui, si: cpc_negative_scores(
                     a, b, ui, si, select_interpret
                 ),
                 mesh=mesh,
                 in_specs=(dp5, dp5, P(), dp5),
-                out_specs=dp5,
+                out_specs=(dp5, dp4),
                 check_vma=False,
             )(wc32, zs32, utt_index, seq_index)
         else:
-            f_neg = cpc_negative_scores(
+            f_neg, f_pos_k = cpc_negative_scores(
                 wc32, zs32, utt_index, seq_index, select_interpret
             )
         fast_scores = False  # kernel selection is exact f32
@@ -232,10 +233,17 @@ def cpc_apply_with_indices(
             precision=prec,
         )
 
-    # Positive scores: the elementwise diagonal (z_shift is already the
-    # (k-shifted) positive series) — cheap, and keeps f_pos's accumulation
-    # order identical to round 2's (lockstep-parity tested).
-    f_pos = jnp.sum(z_shift * wc, axis=-1)  # (K, S, U, L)
+    # Positive scores. XLA paths: the elementwise diagonal (z_shift is
+    # already the (k-shifted) positive series) — cheap, and keeps f_pos's
+    # accumulation order identical to round 2's (lockstep-parity tested).
+    # Kernel path: the v = u block diagonal comes out of the SAME matmul
+    # as the negatives, so a tie-collision negative equals its positive
+    # bit-for-bit (the accuracy epsilon only absorbs genuine near-ties),
+    # and the separate 12 MB elementwise chain disappears.
+    if select_kernel:
+        f_pos = f_pos_k
+    else:
+        f_pos = jnp.sum(z_shift * wc, axis=-1)  # (K, S, U, L)
     f = jnp.concatenate(
         [f_pos[:, :, :, None, :], f_neg], axis=3
     ) / math.sqrt(z_dim)

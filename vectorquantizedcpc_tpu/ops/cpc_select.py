@@ -50,6 +50,7 @@ def _fwd_kernel(
     zs_ref,  # (1, U*L, Z) f32 — candidates, row v*L + m
     seq_ref,  # (1, U*N, L) int32
     out_ref,  # (1, U*N, L) f32
+    fpos_ref,  # (1, U, L) f32 — positives: the v=u block's diagonal
     sim_scr,  # (U*L, L) f32 scratch — simT[v*L + m, l] for the current u
     *,
     u_count: int,
@@ -59,12 +60,19 @@ def _fwd_kernel(
 ):
     k = pl.program_id(0) // s_count
     iota_m = jax.lax.broadcasted_iota(jnp.int32, (l_count, l_count), 0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (l_count, l_count), 1)
+    eye = iota_m == iota_l
     for u in range(u_count):
         # simT[v*L + m, l] = zs[v, m] . wc_u[l] — ONE native-form matmul
         # per anchor utterance: (U*L, Z) @ (Z, L).
         sim_scr[:] = jnp.dot(
             zs_ref[0], wct_ref[0, u], preferred_element_type=jnp.float32
         )
+        # f_pos[u, l] = wc_u[l] . zs[u, l] — the diagonal of the v = u
+        # block, free here (and it makes a tie-collision negative EXACTLY
+        # equal to its positive: both are the same matmul output element).
+        own = sim_scr[u * l_count : (u + 1) * l_count, :]
+        fpos_ref[0, u, :] = jnp.sum(jnp.where(eye, own, 0.0), axis=0)
         for n in range(n_count):
             row = u * n_count + n
             v = utt_sref[k * u_count * n_count + row]
@@ -79,6 +87,7 @@ def _fwd_kernel(
 def _bwd_kernel(
     utt_sref,  # (K*U*N,) int32 SMEM
     dfneg_ref,  # (1, U*N, L) f32
+    dfpos_ref,  # (1, U, L) f32
     wc_ref,  # (1, U*L, Z) f32
     zst_ref,  # (1, Z, U*L) f32 — candidates transposed (for d_wc)
     seq_ref,  # (1, U*N, L) int32
@@ -93,11 +102,19 @@ def _bwd_kernel(
 ):
     k = pl.program_id(0) // s_count
     iota_m = jax.lax.broadcasted_iota(jnp.int32, (l_count, l_count), 0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (l_count, l_count), 1)
+    eye = iota_m == iota_l
     dzs_ref[0] = jnp.zeros_like(dzs_ref[0])
     for u in range(u_count):
         # W accumulator over the FULL candidate axis, built purely from
-        # lane-aligned broadcast-compares.
+        # lane-aligned broadcast-compares. Seeded with the positive's
+        # diagonal contribution (v = u block).
         dsim_scr[:] = jnp.zeros_like(dsim_scr[:])
+        dp_row = dfpos_ref[0, u : u + 1, :]  # (1, L)
+        sl_u = slice(u * l_count, (u + 1) * l_count)
+        dsim_scr[sl_u, :] = jnp.where(
+            eye, jnp.broadcast_to(dp_row, eye.shape), 0.0
+        )
         for n in range(n_count):
             row = u * n_count + n
             v = utt_sref[k * u_count * n_count + row]
@@ -156,29 +173,32 @@ def _fwd_call(utt_flat, wct, zs, seq, u_count, n_count, l_count, s_count,
             _specs3(ul, z),
             _specs3(un, l_count),
         ],
-        out_specs=[_specs3(un, l_count)],
+        out_specs=[_specs3(un, l_count), _specs3(u_count, l_count)],
         scratch_shapes=[
             pltpu.VMEM((u_count * l_count, l_count), jnp.float32)
         ],
     )
-    (out,) = pl.pallas_call(
+    out, fpos = pl.pallas_call(
         functools.partial(
             _fwd_kernel, u_count=u_count, n_count=n_count,
             l_count=l_count, s_count=s_count,
         ),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((ks, un, l_count), jnp.float32)],
+        out_shape=[
+            jax.ShapeDtypeStruct((ks, un, l_count), jnp.float32),
+            jax.ShapeDtypeStruct((ks, u_count, l_count), jnp.float32),
+        ],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(utt_flat, wct, zs, seq)
-    return out
+    return out, fpos
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("u_count", "n_count", "l_count", "s_count", "interpret"),
 )
-def _bwd_call(utt_flat, dfneg, wc, zst, seq, u_count, n_count, l_count,
-              s_count, interpret):
+def _bwd_call(utt_flat, dfneg, dfpos, wc, zst, seq, u_count, n_count,
+              l_count, s_count, interpret):
     ks, ul, z = wc.shape
     un = u_count * n_count
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -186,6 +206,7 @@ def _bwd_call(utt_flat, dfneg, wc, zst, seq, u_count, n_count, l_count,
         grid=(ks,),
         in_specs=[
             _specs3(un, l_count),
+            _specs3(u_count, l_count),
             _specs3(ul, z),
             _specs3(z, ul),
             _specs3(un, l_count),
@@ -206,7 +227,7 @@ def _bwd_call(utt_flat, dfneg, wc, zst, seq, u_count, n_count, l_count,
             jax.ShapeDtypeStruct((ks, ul, z), jnp.float32),
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(utt_flat, dfneg, wc, zst, seq)
+    )(utt_flat, dfneg, dfpos, wc, zst, seq)
     return dwct, dzs
 
 
@@ -217,8 +238,10 @@ def cpc_negative_scores(
     utt_index,  # (K, U, N) int32  (integer: zero/float0 cotangent)
     seq_index,  # (K, S, U, N, L) int32 (integer: zero/float0 cotangent)
     interpret: bool = False,
-) -> jax.Array:
-    """f_neg (K, S, U, N, L) f32 — fused VMEM-resident scoring+selection."""
+) -> Tuple[jax.Array, jax.Array]:
+    """(f_neg (K, S, U, N, L), f_pos (K, S, U, L)) f32 — fused
+    VMEM-resident scoring + selection; f_pos is the v = u block diagonal,
+    so a tie-collision negative is EXACTLY equal to its positive."""
     return _scores_impl(wc, z_shift, utt_index, seq_index, interpret)
 
 
@@ -230,7 +253,7 @@ def _scores_impl(wc, z_shift, utt_index, seq_index, interpret):
     wct = jnp.swapaxes(
         wc.astype(jnp.float32).reshape(k * s, u, l, z), 2, 3
     )  # (KS, U, Z, L)
-    out = _fwd_call(
+    out, fpos = _fwd_call(
         jnp.asarray(utt_index, jnp.int32).reshape(-1),
         wct,
         z_shift.astype(jnp.float32).reshape(k * s, u * l, z),
@@ -238,7 +261,7 @@ def _scores_impl(wc, z_shift, utt_index, seq_index, interpret):
         u_count=u, n_count=n, l_count=l, s_count=s,
         interpret=interpret,
     )
-    return out.reshape(k, s, u, n, l)
+    return out.reshape(k, s, u, n, l), fpos.reshape(k, s, u, l)
 
 
 def _scores_fwd(wc, z_shift, utt_index, seq_index, interpret):
@@ -252,12 +275,14 @@ def _scores_bwd(interpret, res, d_out):
     import numpy as np
 
     wc, z_shift, utt_index, seq_index = res
+    d_fneg, d_fpos = d_out
     k, s, u, l, z = wc.shape
     n = utt_index.shape[-1]
     zs2 = z_shift.astype(jnp.float32).reshape(k * s, u * l, z)
     dwct, dzs = _bwd_call(
         jnp.asarray(utt_index, jnp.int32).reshape(-1),
-        d_out.astype(jnp.float32).reshape(k * s, u * n, l),
+        d_fneg.astype(jnp.float32).reshape(k * s, u * n, l),
+        d_fpos.astype(jnp.float32).reshape(k * s, u, l),
         wc.astype(jnp.float32).reshape(k * s, u * l, z),
         jnp.swapaxes(zs2, 1, 2),  # (KS, Z, U*L)
         jnp.asarray(seq_index, jnp.int32).reshape(k * s, u * n, l),
