@@ -204,3 +204,28 @@ def test_batcher_rejects_oversized(setup):
     )
     with pytest.raises(ValueError, match="max_frames"):
         server.submit(np.zeros(32, np.int32), 0)
+
+
+def test_drain_wait_false_results_match(setup, rng):
+    """run(materialize=False, wait=False) enqueues the whole drain without
+    the final device sync (the RTT-amortized bench boundary); results
+    fetched afterwards are identical to a fully-waited drain."""
+    params, net = setup
+    requests = [
+        (rng.integers(0, 16, size=(n_codes,)), int(spk))
+        for n_codes, spk in [(6, 0), (4, 1), (8, 2)]
+    ]
+
+    def run_once(wait):
+        server = ContinuousBatcher(
+            params, net, slots=2, segment_frames=4, max_frames=32,
+            greedy=True, interpret=True,
+        )
+        rids = [server.submit(z, s) for z, s in requests]
+        server.run(materialize=False, wait=wait)
+        return [np.asarray(server.result(r)) for r in rids]
+
+    waved = run_once(True)
+    lazy = run_once(False)
+    for a, b in zip(waved, lazy):
+        np.testing.assert_array_equal(a, b)

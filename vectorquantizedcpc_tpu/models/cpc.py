@@ -171,6 +171,12 @@ def cpc_apply_with_indices(
     #   bit-exactly (one nonzero term per output) and a tie-collision
     #   negative reproduces f_pos's f32 value to ~1 ulp; the 1e-5 epsilon
     #   then only has to absorb accumulation-order noise.
+    if select_kernel and not select_interpret and length % 8 != 0:
+        # The kernel's utterance selection is a dynamic SUBLANE slice at
+        # v * L, which Mosaic requires 8-aligned — true for the reference
+        # shape (L = 64) but not for arbitrary sample_frames overrides.
+        # Fall back to the XLA formulation rather than fail to compile.
+        select_kernel = False
     if select_kernel and mesh is not None:
         from ..parallel.mesh import DATA_AXIS as _DA
 

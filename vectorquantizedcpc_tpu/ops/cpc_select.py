@@ -138,13 +138,6 @@ def _bwd_kernel(
         )
 
 
-def _tile(shape):
-    return pl.BlockSpec(
-        (1,) + shape, lambda i, *_: (0,) * (len(shape) + 1),
-        memory_space=pltpu.VMEM,
-    )
-
-
 def _specs3(a, b):
     return pl.BlockSpec(
         (1, a, b), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
