@@ -76,7 +76,8 @@ def _fwd_kernel(
         for n in range(n_count):
             row = u * n_count + n
             v = utt_sref[k * u_count * n_count + row]
-            blockT = sim_scr[pl.ds(v * l_count, l_count), :]  # (m, l)
+            start = pl.multiple_of(v * l_count, l_count)
+            blockT = sim_scr[pl.ds(start, l_count), :]  # (m, l)
             seq_row = seq_ref[0, row : row + 1, :]  # (1, L) lane vector
             mask = jnp.broadcast_to(seq_row, iota_m.shape) == iota_m
             out_ref[0, row, :] = jnp.sum(
@@ -124,7 +125,7 @@ def _bwd_kernel(
             w = jnp.where(
                 mask, jnp.broadcast_to(d_row, iota_m.shape), 0.0
             )  # W[m, l] = [seq[l] == m] * d[l]
-            sl_v = pl.ds(v * l_count, l_count)
+            sl_v = pl.ds(pl.multiple_of(v * l_count, l_count), l_count)
             dsim_scr[sl_v, :] = dsim_scr[sl_v, :] + w
         # d_wc_uᵀ[z, l] = sum_{vm} zsᵀ[z, vm] * W[vm, l] — native form.
         dwct_ref[0, u] = jnp.dot(
