@@ -334,3 +334,24 @@ def test_select_kernel_matches_xla_paths(setup):
     np.testing.assert_allclose(
         np.asarray(g_k.b), np.asarray(g_x.b), atol=1e-6
     )
+
+
+def test_fast_scores_close_to_exact(setup):
+    """The bf16 fast_scores XLA path (the mesh-indivisible fallback on
+    TPU) matches exact scoring to bf16-scale tolerance: same loss within
+    ~1e-2 relative, accuracies within the widened tie-break's slack."""
+    params, z, c = setup
+    utt_idx, seq_idx = sample_negative_indices(
+        CONF, jax.random.key(9), z.shape[1] - CONF.n_prediction_steps // 2
+    )
+    loss_x, accs_x = cpc_apply_with_indices(
+        params, CONF, jnp.asarray(z), jnp.asarray(c), utt_idx, seq_idx
+    )
+    loss_f, accs_f = cpc_apply_with_indices(
+        params, CONF, jnp.asarray(z), jnp.asarray(c), utt_idx, seq_idx,
+        fast_scores=True,
+    )
+    assert float(loss_f) == pytest.approx(float(loss_x), rel=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(accs_f), np.asarray(accs_x), atol=0.15
+    )
