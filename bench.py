@@ -310,7 +310,7 @@ def main() -> None:
         # only and tunnel drift can't masquerade as a serving regression.
         from vectorquantizedcpc_tpu.ops.ar_decode import fused_ar_decode
 
-        n_pipe = 3
+        n_pipe = 5  # more drains per sync: tighter ratio vs tunnel noise
         t0 = time.time()
         for rep in range(n_pipe):
             for z_, s_ in reqs:
