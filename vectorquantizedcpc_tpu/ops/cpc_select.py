@@ -23,7 +23,12 @@ violated, measured on v5e):
   sublane-with-sublane makes Mosaic materialize an operand transpose
   per call (~12 µs each at (512, 64, 64) f32).
 - **Selection reads are dynamic SUBLANE slices** (64-aligned) from a
-  (U·L, L) similarity scratch — never lane slices.
+  (U·L, L) similarity scratch — never lane slices. Alignment matters:
+  Mosaic ACCEPTS unaligned dynamic sublane starts but each costs ~1.6 us
+  vs ~0.01 us aligned (measured) — which is why z_shift is materialized
+  by XLA (aligned v*L rows) instead of the kernel reading raw z at
+  v*T + m + k + 1 offsets, and why models/cpc.py gates the kernel on
+  L % 8 == 0.
 
 Everything is f32, so the selection is EXACT (models/cpc.py HIGHEST-mode
 semantics): a tie-collision negative reproduces the positive's f32 score
