@@ -339,7 +339,10 @@ def test_select_kernel_matches_xla_paths(setup):
 def test_fast_scores_close_to_exact(setup):
     """The bf16 fast_scores XLA path (the mesh-indivisible fallback on
     TPU) matches exact scoring to bf16-scale tolerance: same loss within
-    ~1e-2 relative, accuracies within the widened tie-break's slack."""
+    ~1e-2 relative. Accuracies use the f32 tie-break recompute (ADVICE
+    r4), so the metric keeps the exact path's 1e-5 epsilon — drift vs
+    exact is bounded by the rare case where bf16 noise reorders two
+    near-equal negatives, far tighter than the old 1e-2-widened bound."""
     params, z, c = setup
     utt_idx, seq_idx = sample_negative_indices(
         CONF, jax.random.key(9), z.shape[1] - CONF.n_prediction_steps // 2
@@ -353,5 +356,5 @@ def test_fast_scores_close_to_exact(setup):
     )
     assert float(loss_f) == pytest.approx(float(loss_x), rel=2e-2)
     np.testing.assert_allclose(
-        np.asarray(accs_f), np.asarray(accs_x), atol=0.15
+        np.asarray(accs_f), np.asarray(accs_x), atol=0.03
     )

@@ -203,3 +203,81 @@ def test_fused_lstm_f32_inputs_keep_scan_path():
     a, _ = lstm_apply(params, x)
     b, _ = lstm_apply(params, x, use_pallas=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_gru_scan_matches_scan(rng):
+    """Pallas fused GRU train kernel (interpret mode) vs the custom-VJP
+    scan (models/rnn.py:gru_scan): forward and all gradients (dwh, dbh,
+    dxproj, dh0) agree to bf16 tolerance against the f32 scan ground
+    truth. T=22 -> chunk 11? no: chunk picker caps at 8 -> chunk 2,
+    exercising the multi-chunk path and the reversed backward grid."""
+    from vectorquantizedcpc_tpu.models.rnn import gru_scan
+    from vectorquantizedcpc_tpu.ops.gru_train import fused_gru_scan
+
+    B, T, H = 4, 22, 32
+    params = gru_init(jax.random.key(0), 8, H)
+    xproj = jnp.asarray(
+        rng.normal(size=(T, B, 3 * H)).astype(np.float32) * 0.5
+    )
+    h0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32) * 0.1)
+
+    hs_ref = gru_scan(params.wh, params.bh, xproj, h0)
+    hs_k = fused_gru_scan(params.wh, params.bh, xproj, h0, True)
+    assert hs_k.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(hs_k, np.float32), np.asarray(hs_ref), atol=2e-2
+    )
+
+    def loss(wh, bh, xp, h, kernel):
+        if kernel:
+            hs = fused_gru_scan(wh, bh, xp, h, True).astype(jnp.float32)
+        else:
+            hs = gru_scan(wh, bh, xp, h)
+        return jnp.sum(jnp.sin(hs))
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        params.wh, params.bh, xproj, h0, False
+    )
+    g_k = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        params.wh, params.bh, xproj, h0, True
+    )
+    for name, a, b in zip(("dwh", "dbh", "dxproj", "dh0"), g_ref, g_k):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-2,
+                                   err_msg=name)
+
+
+def test_vocoder_forward_pallas_matches_scan():
+    """The full teacher-forced vocoder forward routed through the fused
+    GRU kernel (interpret mode) matches the scan path at bf16 tolerance —
+    pins the vocoder_forward wiring, not just the bare kernel."""
+    from vectorquantizedcpc_tpu.configs import load_conf
+    from vectorquantizedcpc_tpu.models.vocoder import (
+        vocoder_forward,
+        vocoder_init,
+    )
+
+    conf = load_conf([
+        "training_vocoder.model.network.n_speakers=4",
+        "training_vocoder.model.network.rnnms.wave_ar.size_h_rnn=24",
+        "training_vocoder.model.network.rnnms.wave_ar.size_h_fc=16",
+    ]).training_vocoder.model.network
+    params = vocoder_init(jax.random.key(0), conf)
+    rng = np.random.default_rng(5)
+    b, frames = 2, 4
+    t = frames * 2 * conf.rnnms.upsampling_t // 4  # short clip
+    x = jnp.asarray(rng.integers(0, 256, size=(b, t)).astype(np.int32))
+    z = jnp.asarray(
+        rng.integers(0, conf.size_i_codebook, size=(b, frames)).astype(np.int32)
+    )
+    spk = jnp.asarray(rng.integers(0, 4, size=(b,)).astype(np.int32))
+
+    logits_scan = vocoder_forward(params, conf, x, z, spk, jnp.bfloat16)
+    logits_k = vocoder_forward(
+        params, conf, x, z, spk, jnp.bfloat16,
+        use_pallas=True, pallas_interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_k), np.asarray(logits_scan), atol=8e-2
+    )

@@ -152,6 +152,7 @@ runtime:
     precision: bfloat16
     use_pallas: true
     profile_dir: null
+    prng_impl: null
     platform: null
     num_cpu_devices: null
     coordinator_address: null
@@ -351,6 +352,12 @@ class ConfRuntime:
     precision: str = "bfloat16"
     use_pallas: bool = True
     profile_dir: Optional[str] = None
+    # PRNG implementation for the epoch trainer's negative-sampling keys:
+    # null = "rbg" on TPU (hardware generator; threefry randint measured
+    # ~50 us/step there, xprof r4) and "threefry" elsewhere, so CPU
+    # debugging runs are reproducible/comparable with the per-step path.
+    # Set explicitly to pin either family (ADVICE r4).
+    prng_impl: Optional[str] = None
     # Force a JAX platform ("cpu"/"tpu"); null = auto. NOTE: in this
     # environment the JAX_PLATFORMS env var is ignored by the backend
     # plugin, so this goes through jax.config (see apply_runtime()).
@@ -413,14 +420,26 @@ def resolve_compute_dtype(precision: str):
     import jax.numpy as jnp
 
     if precision in ("auto", "int8", "bf16"):
+        if precision != "bf16":
+            # A user who sets int8 expecting quantized TRAINING should
+            # hear that they got bf16 (ADVICE r4) — decode paths still
+            # honor the int8 request.
+            from .utils.warnings_once import warn_once
+
+            warn_once(
+                f"runtime.precision={precision!r} is a decode-only mode; "
+                "training compute uses bfloat16 (weight-only int8 applies "
+                "to inference decode only)."
+            )
         return jnp.dtype(jnp.bfloat16)
-    try:
-        return jnp.dtype(precision)
-    except TypeError:
-        raise ValueError(
-            f"runtime.precision={precision!r} is not a training compute "
-            "dtype (float32/bfloat16) or a decode mode (bf16/int8/auto)"
-        ) from None
+    if precision in ("float32", "f32", "fp32"):
+        return jnp.dtype(jnp.float32)
+    if precision in ("bfloat16",):
+        return jnp.dtype(jnp.bfloat16)
+    raise ValueError(
+        f"runtime.precision={precision!r} is not a training compute "
+        "dtype (float32/bfloat16) or a decode mode (bf16/int8/auto)"
+    )
 
 
 def _deep_merge(base: Dict[str, Any], override: Dict[str, Any]) -> Dict[str, Any]:

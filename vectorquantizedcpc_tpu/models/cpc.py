@@ -23,7 +23,7 @@ Functional re-design of reference model.py:167-316 (CPCLoss). Differences in
 """
 
 import math
-from typing import Tuple
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -87,8 +87,13 @@ def cpc_apply_with_indices(
     select_kernel: bool = False,
     select_interpret: bool = False,
     mesh=None,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Union[
+    Tuple[jax.Array, jax.Array], Tuple[jax.Array, jax.Array, jax.Array]
+]:
     """InfoNCE scoring given precomputed negative indices (testable core).
+
+    Returns ``(loss, accuracies)``, or ``(loss, accuracies, f)`` when
+    ``return_scores`` is set.
 
     ``return_scores`` additionally returns the scaled logits ``f`` of
     shape (K, S*U, 1+Neg, L) (positive fixed at class 0) — used by the
@@ -176,11 +181,25 @@ def cpc_apply_with_indices(
         # v * L, which Mosaic requires 8-aligned — true for the reference
         # shape (L = 64) but not for arbitrary sample_frames overrides.
         # Fall back to the XLA formulation rather than fail to compile.
+        from ..utils.warnings_once import warn_once
+
+        warn_once(
+            f"CPC selection kernel disabled: latent length {length} is not "
+            "a multiple of 8 (Mosaic sublane alignment); using the XLA "
+            "selection path. Results are identical; throughput is lower."
+        )
         select_kernel = False
     if select_kernel and mesh is not None:
         from ..parallel.mesh import DATA_AXIS as _DA
 
         if s % mesh.shape[_DA] != 0:
+            from ..utils.warnings_once import warn_once
+
+            warn_once(
+                f"CPC selection kernel disabled: {s} speakers do not divide "
+                f"the data mesh axis ({mesh.shape[_DA]}); using the XLA "
+                "selection path. Results are identical; throughput is lower."
+            )
             select_kernel = False  # speaker axis doesn't shard: XLA path
     if select_kernel:
         from ..ops.cpc_select import cpc_negative_scores
@@ -268,13 +287,58 @@ def cpc_apply_with_indices(
     # ties toward the negative, deflating the metric by the code-collision
     # rate (measured ~0.25 early in training). The epsilon only affects
     # the reported metric, not the loss/gradients.
-    eps = 1e-2 if fast_scores else 1e-5
-    tol = eps * (1.0 + jnp.abs(f[:, :, :1, :]))
-    accuracies = jnp.mean(
-        (f[:, :, :1, :] + tol >= jnp.max(f[:, :, 1:, :], axis=2, keepdims=True))
-        .astype(jnp.float32),
-        axis=(1, 2, 3),
-    )  # (K,)
+    if fast_scores:
+        # f32 tie-break recompute (ADVICE r4): bf16 scores carry ~1e-2
+        # relative noise, and widening the tie epsilon to cover it counts
+        # genuine sub-1% near-losses as correct, inflating the metric.
+        # Instead: take the bf16 argmax negative per (k, s, u, l),
+        # recompute ITS score and the positive's in f32 — from the SAME
+        # bf16-rounded inputs the sim matmul saw, so exact codeword
+        # collisions (z is quantized) remain exact ties — and tie-break
+        # those at the exact path's 1e-5. Metric-only (stop_gradient);
+        # one (K,S,U*L)-row gather + two (K,S,U,L) reduces off the
+        # loss/grad path, on a path that already forgoes the kernel.
+        wc16 = (
+            jax.lax.stop_gradient(wc)
+            .astype(jnp.bfloat16)
+            .astype(jnp.float32)
+        )
+        zs16 = (
+            jax.lax.stop_gradient(z_shift)
+            .astype(jnp.bfloat16)
+            .astype(jnp.float32)
+        )
+        n_star = jnp.argmax(
+            jax.lax.stop_gradient(f_neg), axis=3
+        )  # (K, S, U, L)
+        utt_b = jnp.broadcast_to(
+            utt_index[:, None, :, :], f_neg.shape[:3] + (f_neg.shape[3],)
+        )  # (K, S, U, Neg)
+        v_star = jnp.take_along_axis(utt_b, n_star, axis=3)
+        m_star = jnp.take_along_axis(
+            seq_index, n_star[:, :, :, None, :], axis=3
+        )[:, :, :, 0, :]
+        k_, s_, v_, m_, zd = zs16.shape
+        flat = (v_star * m_ + m_star).reshape(k_, s_, -1)  # (K, S, U*L)
+        z_sel = jnp.take_along_axis(
+            zs16.reshape(k_, s_, v_ * m_, zd), flat[..., None], axis=2
+        ).reshape(k_, s_, u, length, zd)
+        scale = 1.0 / math.sqrt(z_dim)
+        f_pos32 = jnp.sum(zs16 * wc16, axis=-1) * scale  # (K, S, U, L)
+        f_neg32 = jnp.sum(z_sel * wc16, axis=-1) * scale
+        tol32 = 1e-5 * (1.0 + jnp.abs(f_pos32))
+        accuracies = jnp.mean(
+            (f_pos32 + tol32 >= f_neg32).astype(jnp.float32), axis=(1, 2, 3)
+        )  # (K,)
+    else:
+        tol = 1e-5 * (1.0 + jnp.abs(f[:, :, :1, :]))
+        accuracies = jnp.mean(
+            (
+                f[:, :, :1, :] + tol
+                >= jnp.max(f[:, :, 1:, :], axis=2, keepdims=True)
+            ).astype(jnp.float32),
+            axis=(1, 2, 3),
+        )  # (K,)
 
     if return_scores:
         return jnp.mean(loss_per_k), accuracies, f

@@ -128,6 +128,13 @@ def lstm_apply(
                     (h_t.astype(x.dtype), c_t.astype(x.dtype)),
                 )
             # Batch doesn't divide the data axis: fall through to scan.
+            from ..utils.warnings_once import warn_once
+
+            warn_once(
+                f"Fused LSTM kernel disabled: batch {b} does not divide the "
+                f"data mesh axis ({mesh.shape[DATA_AXIS]}); using the "
+                "lax.scan path. Results are identical; throughput is lower."
+            )
         else:
             hs, h_t, c_t = fused_lstm_scan(
                 params.wh, xproj, state[0], state[1], interpret

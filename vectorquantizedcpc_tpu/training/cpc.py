@@ -275,19 +275,24 @@ def make_train_epoch(conf: ConfGlobal, mesh=None):
         return (new_state, lr), metrics
 
     seed = conf.seed
+    # RBG keys on TPU: the negative-index randint draws cost ~50 us/step
+    # under threefry (xprof r4) vs far less under the TPU-native RBG
+    # generator; CPC only needs the sampling DISTRIBUTION to match the
+    # reference (explicit-index injection covers exact parity,
+    # models/cpc.py docstring). Off-TPU (or with runtime.prng_impl set)
+    # threefry keeps epoch runs reproducible and comparable with the
+    # per-step path at the same seed (ADVICE r4).
+    prng_impl = conf.runtime.prng_impl or (
+        "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+    )
 
     def epoch_fn(state: CPCTrainState, all_mels: jax.Array, lr):
         n = all_mels.shape[0]
         # Epoch counter and PRNG derivation live on device: no extra H2D
         # transfers per epoch (the tunnel makes each one ~20 ms).
         epoch = state.epoch + 1
-        # RBG keys: the negative-index randint draws cost ~50 us/step
-        # under threefry (xprof r4) vs far less under the TPU-native RBG
-        # generator; CPC only needs the sampling DISTRIBUTION to match
-        # the reference (explicit-index injection covers exact parity,
-        # models/cpc.py docstring).
         rng = jax.random.fold_in(
-            jax.random.key(seed + 1, impl="rbg"), epoch
+            jax.random.key(seed + 1, impl=prng_impl), epoch
         )
         rngs = jax.random.split(rng, n)
         (state, _), metrics = jax.lax.scan(

@@ -90,6 +90,11 @@ def make_train_step(conf: ConfGlobal, mesh=None):
     net_conf = conf.training_vocoder.model.network
     compute_dtype = resolve_compute_dtype(conf.runtime.precision)
     optimizer = make_optimizer(conf.training_vocoder.trainer.gradient_clip_val)
+    # Fused Pallas GRU for the 5,120-step AR recurrence (ops/gru_train.py);
+    # same gating as the CPC trainer's fused LSTM (training/cpc.py).
+    from .cpc import _pallas_mode
+
+    use_pallas, pallas_interpret = _pallas_mode(conf)
 
     def step(state, enc_params, vq_state, audio, mels, speakers, lr):
         # Frozen encoder -> discrete codes (no gradient; reference
@@ -101,7 +106,9 @@ def make_train_step(conf: ConfGlobal, mesh=None):
 
         def loss_fn(params):
             logits = vocoder_forward(
-                params, net_conf, teacher, indices, speakers, compute_dtype
+                params, net_conf, teacher, indices, speakers, compute_dtype,
+                use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+                mesh=mesh,
             )
             logp = jax.nn.log_softmax(logits, axis=-1)
             ce = -jnp.take_along_axis(logp, target[..., None], axis=-1)
