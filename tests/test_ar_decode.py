@@ -185,23 +185,85 @@ def test_resolve_precision_auto_crossover():
     )
 
     # Measured regimes: int8 loses in the latency-bound small-batch regime,
-    # wins once the MXU saturates.
-    assert resolve_precision("auto", 8) == "bf16"
-    assert resolve_precision("auto", 32) == "bf16"
-    assert resolve_precision("auto", INT8_CROSSOVER_BATCH) == "int8"
-    assert resolve_precision("auto", 128) == "int8"
+    # wins once the MXU saturates. Inject the built-in table explicitly so
+    # the test is hermetic w.r.t. any BENCH_STEP_US.json capture on disk.
+    assert resolve_precision("auto", 8, _STEP_US) == "bf16"
+    assert resolve_precision("auto", 32, _STEP_US) == "bf16"
+    assert resolve_precision("auto", INT8_CROSSOVER_BATCH, _STEP_US) == "int8"
+    assert resolve_precision("auto", 128, _STEP_US) == "int8"
     # Pareto property: at every batch, auto's step time (== RTF/62.5 at
     # 16 kHz) is <= both modes' — so it cannot breach an RTF budget the
     # other mode would meet.
     for batch in (1, 8, 16, 32, 48, 64, 96, 128, 256):
-        pick = resolve_precision("auto", batch)
+        pick = resolve_precision("auto", batch, _STEP_US)
         t_pick = _interp_step_us(_STEP_US[pick], batch)
         for mode in ("bf16", "int8"):
             assert t_pick <= _interp_step_us(_STEP_US[mode], batch) + 1e-9
-    # Interpolation sanity: exact at knots, monotone clamps at the ends.
-    assert _interp_step_us(_STEP_US["bf16"], 48) == pytest.approx(3.04)
-    assert _interp_step_us(_STEP_US["bf16"], 1) == pytest.approx(2.30)
+    # Interpolation sanity: exact at knots (BENCH_r04 values), monotone
+    # clamps at the ends.
+    assert _interp_step_us(_STEP_US["bf16"], 48) == pytest.approx(2.51)
+    assert _interp_step_us(_STEP_US["bf16"], 1) == pytest.approx(1.85)
     assert resolve_precision("bf16", 1) == "bf16"
     assert resolve_precision("int8", 1) == "int8"
     with pytest.raises(ValueError, match="precision"):
         resolve_precision("fp8", 64)
+
+
+def test_resolve_precision_prefers_live_capture(tmp_path, monkeypatch):
+    """"auto" decisions must track the measuring hardware (VERDICT r4
+    #5): a BENCH_STEP_US.json capture (path via VQCPC_STEP_US_FILE)
+    overrides the built-in table — here an inverted capture flips the
+    crossover — and a corrupt capture falls back to the built-in."""
+    import json
+
+    from vectorquantizedcpc_tpu.ops import ar_decode
+
+    # Capture claiming int8 is faster at EVERY batch.
+    cap = {
+        "device": "test",
+        "bf16": [[8, 5.0], [128, 9.0]],
+        "int8": [[8, 1.0], [128, 2.0]],
+    }
+    path = tmp_path / "BENCH_STEP_US.json"
+    path.write_text(json.dumps(cap))
+    monkeypatch.setenv("VQCPC_STEP_US_FILE", str(path))
+    monkeypatch.setitem(ar_decode._capture_cache, "loaded", False)
+    monkeypatch.setitem(ar_decode._capture_cache, "table", None)
+    assert ar_decode.resolve_precision("auto", 8) == "int8"
+    assert ar_decode.resolve_precision("auto", 128) == "int8"
+
+    # Corrupt capture: built-in fallback (bf16 wins at b8 there).
+    path.write_text("not json")
+    monkeypatch.setitem(ar_decode._capture_cache, "loaded", False)
+    monkeypatch.setitem(ar_decode._capture_cache, "table", None)
+    assert ar_decode.resolve_precision("auto", 8) == "bf16"
+    monkeypatch.setitem(ar_decode._capture_cache, "loaded", False)
+    monkeypatch.setitem(ar_decode._capture_cache, "table", None)
+
+
+def test_builtin_step_us_tracks_latest_capture():
+    """If the repo holds a bench capture for the same device family the
+    built-in table was measured on, the built-in knots must agree within
+    50% — a tripwire against the table silently going stale again
+    (VERDICT r4 #5: r3 numbers survived into r4 source unnoticed)."""
+    import json
+    import pathlib
+
+    from vectorquantizedcpc_tpu.ops.ar_decode import (
+        _STEP_US,
+        _interp_step_us,
+    )
+
+    path = pathlib.Path(__file__).resolve().parents[1] / "BENCH_STEP_US.json"
+    if not path.exists():
+        pytest.skip("no bench capture in repo")
+    cap = json.loads(path.read_text())
+    if "v5 lite" not in cap.get("device", ""):
+        pytest.skip("capture from a different device family")
+    for mode in ("bf16", "int8"):
+        for batch, us in cap[mode]:
+            builtin = _interp_step_us(_STEP_US[mode], batch)
+            assert abs(builtin - us) / us < 0.5, (
+                f"{mode} b{batch}: builtin {builtin} vs capture {us} — "
+                "regenerate _STEP_US from the latest bench run"
+            )

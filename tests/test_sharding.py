@@ -215,3 +215,63 @@ def test_sharded_step_with_fused_kernel_matches_unsharded(mesh, rng, monkeypatch
         np.asarray(new_a.vq.embedding), np.asarray(new_b.vq.embedding),
         atol=0.15,
     )
+
+
+def test_kernel_fallbacks_warn_once(conf, mesh):
+    """Every silent kernel downgrade emits one PerformanceWarning naming
+    the cause (VERDICT r4 #6): LSTM batch not dividing the data axis, GRU
+    batch not dividing the data axis, and CPC selection-kernel
+    misalignment (L % 8 != 0 / speakers not dividing the data axis)."""
+    import warnings
+
+    from vectorquantizedcpc_tpu.models.cpc import cpc_apply
+    from vectorquantizedcpc_tpu.models.rnn import gru_init, lstm_apply, lstm_init
+    from vectorquantizedcpc_tpu.models.vocoder import _ar_gru_scan
+    from vectorquantizedcpc_tpu.utils.warnings_once import (
+        PerformanceWarning,
+        reset_for_tests,
+    )
+
+    reset_for_tests()
+    # LSTM: batch 3 does not divide data=2.
+    params = lstm_init(jax.random.key(0), 8, 16)
+    x = jnp.ones((3, 6, 8), jnp.bfloat16)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        lstm_apply(params, x, use_pallas=True, interpret=True, mesh=mesh)
+        lstm_apply(params, x, use_pallas=True, interpret=True, mesh=mesh)
+    perf = [w for w in caught if issubclass(w.category, PerformanceWarning)]
+    assert len(perf) == 1 and "Fused LSTM kernel disabled" in str(perf[0].message)
+
+    # GRU: batch 3 does not divide data=2.
+    gparams = gru_init(jax.random.key(1), 8, 16)
+    xproj = jnp.ones((6, 3, 48), jnp.bfloat16)
+    h0 = jnp.zeros((3, 16), jnp.bfloat16)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _ar_gru_scan(gparams, xproj, h0, jnp.bfloat16, True, True, mesh)
+    perf = [w for w in caught if issubclass(w.category, PerformanceWarning)]
+    assert len(perf) == 1 and "Fused GRU kernel disabled" in str(perf[0].message)
+
+    # CPC selection: L=17 is not 8-aligned -> XLA fallback with warning.
+    from vectorquantizedcpc_tpu.configs import load_conf as _lc
+
+    cconf = _lc(TINY).model.cpc
+    k = cconf.n_prediction_steps // 2
+    s, u, L, z_dim = 4, 2, 17, 16
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.normal(size=(s * u, L + k, z_dim)).astype(np.float32))
+    c = jnp.asarray(
+        rng.normal(size=(s * u, L + k, 32)).astype(np.float32)
+    )
+    from vectorquantizedcpc_tpu.models.cpc import cpc_init
+
+    cpc_params = cpc_init(jax.random.key(2), cconf)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        cpc_apply(
+            cpc_params, cconf, z, c, jax.random.key(3), select_kernel=True
+        )
+    perf = [w for w in caught if issubclass(w.category, PerformanceWarning)]
+    assert len(perf) == 1
+    assert "CPC selection kernel disabled" in str(perf[0].message)

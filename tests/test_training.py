@@ -14,6 +14,7 @@ from vectorquantizedcpc_tpu.training.checkpoint import (
 )
 from vectorquantizedcpc_tpu.training.cpc import (
     init_train_state,
+    make_train_epoch,
     make_train_step,
 )
 from vectorquantizedcpc_tpu.training.schedule import MultiStepSchedule, WarmupSchedule
@@ -153,3 +154,70 @@ def test_resume_continues_identically(tmp_path, tiny_conf, rng):
     np.testing.assert_allclose(
         np.asarray(next_a.enc.out_w), np.asarray(next_b.enc.out_w), atol=1e-6
     )
+
+
+def test_multi_epoch_dispatch_matches_per_epoch(tiny_conf, rng):
+    """make_train_epochs (E epochs in one dispatch,
+    training.cpc.epochs_per_dispatch) must reproduce E sequential
+    make_train_epoch dispatches exactly: the per-epoch PRNG is derived
+    from the device epoch counter (identical draws), the LR vector
+    preserves per-epoch LR semantics, and metrics come back stacked."""
+    from vectorquantizedcpc_tpu.training.cpc import make_train_epochs
+
+    e_dim, n = 3, 4
+    tc = tiny_conf.training.cpc
+    t = tiny_conf.data.dataset.cpc.clip_length_mel
+    mels = jnp.asarray(
+        rng.normal(
+            size=(
+                e_dim, n, tc.n_speakers_per_batch,
+                tc.n_utterances_per_speaker, 80, t,
+            )
+        ).astype(np.float32)
+    )
+    lrs = jnp.asarray([1e-3, 5e-4, 2e-4], jnp.float32)
+
+    state_a = init_train_state(tiny_conf, jax.random.key(7))
+    state_b = jax.tree.map(jnp.copy, state_a)
+
+    train_epoch = make_train_epoch(tiny_conf)
+    per_epoch_losses = []
+    for e in range(e_dim):
+        state_a, metrics = train_epoch(state_a, mels[e], lrs[e])
+        per_epoch_losses.append(np.asarray(metrics["loss"]))
+
+    train_epochs = make_train_epochs(tiny_conf)
+    state_b, metrics_g = train_epochs(state_b, mels, lrs)
+
+    assert metrics_g["loss"].shape == (e_dim, n)
+    np.testing.assert_array_equal(
+        np.asarray(metrics_g["loss"]), np.stack(per_epoch_losses)
+    )
+    assert int(state_b.epoch) == int(state_a.epoch) == e_dim
+    for leaf_a, leaf_b in zip(
+        jax.tree.leaves(state_a.enc), jax.tree.leaves(state_b.enc)
+    ):
+        np.testing.assert_array_equal(np.asarray(leaf_a), np.asarray(leaf_b))
+    np.testing.assert_array_equal(
+        np.asarray(state_a.vq.embedding), np.asarray(state_b.vq.embedding)
+    )
+
+
+def test_train_model_epochs_per_dispatch_e2e(tmp_path, rng):
+    """The full trainer with epochs_per_dispatch=2 runs, logs, checkpoints
+    and produces a loadable checkpoint (grouped-dispatch path of
+    train_model)."""
+    from vectorquantizedcpc_tpu.training.cpc import train_model
+
+    conf = load_conf(TINY + [
+        "data.dataset.name=synthetic",
+        f"checkpoint_dir={tmp_path}/ckpt",
+        "training.cpc.n_epochs=4",
+        "training.cpc.epochs_per_dispatch=2",
+        "training.cpc.checkpoint_interval=4",
+        "training.cpc.log_interval=2",
+        "training.cpc.n_speakers_per_batch=3",
+    ])
+    state = train_model(conf)
+    assert int(state.epoch) == 4
+    assert (tmp_path / "ckpt" / "model.ckpt-4").exists()

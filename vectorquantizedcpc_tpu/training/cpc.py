@@ -200,19 +200,10 @@ def make_train_step(conf: ConfGlobal, mesh=None, inject_negatives: bool = False)
     )
 
 
-def make_train_epoch(conf: ConfGlobal, mesh=None):
-    """Whole-epoch train function: lax.scan of the train step over a stacked
-    tensor of batches.
+def _make_one_step(conf: ConfGlobal, mesh=None):
+    """Shared scan body for the epoch trainers: one optimizer step.
 
-    TPU-first rationale: over a tunneled/remote device, per-step dispatch
-    plus the per-step metrics fetch dominates wall clock (measured ~0.5 s/
-    step vs 0.5 ms/step compute). One epoch of CPC batches is only a few MB
-    (reference shape: ~12 x 8 x 8 x 80 x 140 f32), so we stage the epoch on
-    device and run ONE call per epoch; the reference's scheduler semantics
-    (per-epoch LR, train_cpc.py:136) make the LR a constant within the scan.
-
-    Signature: (state, mels (N, S, U, F, T), rng, lr) ->
-    (state, stacked metrics with leading dim N).
+    Returns ``one_step((state, lr), (mels, rng)) -> ((state, lr), metrics)``.
     """
     cpc_conf = conf.model.cpc
     s = cpc_conf.n_speakers_per_batch
@@ -274,7 +265,10 @@ def make_train_epoch(conf: ConfGlobal, mesh=None):
         }
         return (new_state, lr), metrics
 
-    seed = conf.seed
+    return one_step
+
+
+def _epoch_prng_impl(conf: ConfGlobal) -> str:
     # RBG keys on TPU: the negative-index randint draws cost ~50 us/step
     # under threefry (xprof r4) vs far less under the TPU-native RBG
     # generator; CPC only needs the sampling DISTRIBUTION to match the
@@ -282,9 +276,54 @@ def make_train_epoch(conf: ConfGlobal, mesh=None):
     # models/cpc.py docstring). Off-TPU (or with runtime.prng_impl set)
     # threefry keeps epoch runs reproducible and comparable with the
     # per-step path at the same seed (ADVICE r4).
-    prng_impl = conf.runtime.prng_impl or (
+    return conf.runtime.prng_impl or (
         "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
     )
+
+
+def _jit_epoch_fn(conf, mesh, fn, batch_ndim: int):
+    if mesh is None:
+        return jax.jit(fn, donate_argnums=(0,))
+
+    from ..parallel.sharding import batch_sharding, state_shardings
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state_template = jax.eval_shape(
+        lambda seed: init_train_state(conf, jax.random.key(seed)), 0
+    )
+    state_sh = state_shardings(mesh, state_template)
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        fn,
+        donate_argnums=(0,),
+        # Epoch tensor (..., S, U, F, T): leading axes are scan axes;
+        # speakers shard over data.
+        in_shardings=(
+            state_sh,
+            batch_sharding(mesh, batch_ndim, axis=batch_ndim - 4),
+            repl,
+        ),
+        out_shardings=(state_sh, repl),
+    )
+
+
+def make_train_epoch(conf: ConfGlobal, mesh=None):
+    """Whole-epoch train function: lax.scan of the train step over a stacked
+    tensor of batches.
+
+    TPU-first rationale: over a tunneled/remote device, per-step dispatch
+    plus the per-step metrics fetch dominates wall clock (measured ~0.5 s/
+    step vs 0.5 ms/step compute). One epoch of CPC batches is only a few MB
+    (reference shape: ~12 x 8 x 8 x 80 x 140 f32), so we stage the epoch on
+    device and run ONE call per epoch; the reference's scheduler semantics
+    (per-epoch LR, train_cpc.py:136) make the LR a constant within the scan.
+
+    Signature: (state, mels (N, S, U, F, T), lr) ->
+    (state, stacked metrics with leading dim N).
+    """
+    one_step = _make_one_step(conf, mesh)
+    seed = conf.seed
+    prng_impl = _epoch_prng_impl(conf)
 
     def epoch_fn(state: CPCTrainState, all_mels: jax.Array, lr):
         n = all_mels.shape[0]
@@ -300,25 +339,47 @@ def make_train_epoch(conf: ConfGlobal, mesh=None):
         )
         return state.replace(epoch=epoch), metrics
 
-    if mesh is None:
-        return jax.jit(epoch_fn, donate_argnums=(0,))
+    return _jit_epoch_fn(conf, mesh, epoch_fn, 5)
 
-    from ..parallel.sharding import batch_sharding, state_shardings
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    state_template = jax.eval_shape(
-        lambda seed: init_train_state(conf, jax.random.key(seed)), 0
-    )
-    state_sh = state_shardings(mesh, state_template)
-    repl = NamedSharding(mesh, P())
-    return jax.jit(
-        epoch_fn,
-        donate_argnums=(0,),
-        # Epoch tensor (N, S, U, F, T): axis 0 is the scan axis; speakers
-        # (axis 1) shard over data.
-        in_shardings=(state_sh, batch_sharding(mesh, 5, axis=1), repl),
-        out_shardings=(state_sh, repl),
-    )
+def make_train_epochs(conf: ConfGlobal, mesh=None):
+    """Multi-epoch train function: an outer lax.scan over whole epochs in
+    ONE device dispatch (``training.cpc.epochs_per_dispatch``).
+
+    Every dispatch costs ~3-9 ms of host/link overhead that does NOT
+    overlap device compute on a remote-attached chip (the r4 xprof
+    decomposition: 0.858 ms/step on device vs 1.035 ms/step wall at one
+    50-step epoch per dispatch). Folding E epochs into one dispatch
+    divides that overhead by E while preserving per-epoch semantics: the
+    LR schedule is evaluated host-side into an (E,) vector (per-epoch LR,
+    reference train_cpc.py:136), the device epoch counter advances inside
+    the scan, and metrics come back stacked (E, N, ...).
+
+    Signature: (state, mels (E, N, S, U, F, T), lrs (E,)) ->
+    (state, stacked metrics with leading dims (E, N)).
+    """
+    one_step = _make_one_step(conf, mesh)
+    seed = conf.seed
+    prng_impl = _epoch_prng_impl(conf)
+
+    def epochs_fn(state: CPCTrainState, all_mels: jax.Array, lrs):
+        n = all_mels.shape[1]
+
+        def body(state, inputs):
+            mels_e, lr_e = inputs
+            epoch = state.epoch + 1
+            rng = jax.random.fold_in(
+                jax.random.key(seed + 1, impl=prng_impl), epoch
+            )
+            rngs = jax.random.split(rng, n)
+            (state, _), metrics = jax.lax.scan(
+                one_step, (state, lr_e), (mels_e, rngs)
+            )
+            return state.replace(epoch=epoch), metrics
+
+        return jax.lax.scan(body, state, (all_mels, lrs.astype(jnp.float32)))
+
+    return _jit_epoch_fn(conf, mesh, epochs_fn, 6)
 
 
 class RunningMean:
@@ -411,15 +472,35 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
     else:
         epoch_batch_sharding = None
 
+    # Epoch grouping: E epochs per device dispatch (amortizes the
+    # per-dispatch host/link overhead; make_train_epochs). The producer
+    # stages one GROUP ahead; log/checkpoint cadence quantizes to E.
+    epd = max(1, int(getattr(tc, "epochs_per_dispatch", 1)))
+    if mesh is not None and epd > 1:
+        group_sharding = batch_sharding(mesh, 6, axis=2)
+    else:
+        group_sharding = epoch_batch_sharding
+
     def _epoch_producer(q: "_queue.Queue", epochs):
         try:
-            for epoch in epochs:
-                loader.set_epoch(epoch)
-                mels_list = [m for m, _spk in iter(loader)]
-                stacked = jax.device_put(
-                    np.stack(mels_list), epoch_batch_sharding
-                )
-                q.put((epoch, stacked))
+            epochs = list(epochs)
+            for g0 in range(0, len(epochs), epd):
+                group = epochs[g0 : g0 + epd]
+                stacked_epochs = []
+                for epoch in group:
+                    loader.set_epoch(epoch)
+                    stacked_epochs.append(
+                        np.stack([m for m, _spk in iter(loader)])
+                    )
+                if epd > 1:
+                    stacked = jax.device_put(
+                        np.stack(stacked_epochs), group_sharding
+                    )
+                else:
+                    stacked = jax.device_put(
+                        stacked_epochs[0], epoch_batch_sharding
+                    )
+                q.put((group, stacked))
             q.put(None)
         except BaseException as e:
             q.put(e)
@@ -432,7 +513,8 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
     )
     producer.start()
 
-    train_epoch = make_train_epoch(conf, mesh)
+    train_epoch = make_train_epoch(conf, mesh) if epd == 1 else None
+    train_epochs = make_train_epochs(conf, mesh) if epd > 1 else None
     pending_metrics = []  # device-side metric trees; fetched only at log time
     global_step = 0
     t0 = time.time()
@@ -451,36 +533,53 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
     profile_dir = conf.runtime.profile_dir
     profiling = False
 
+    profiled = False
     while True:
         item = q.get()
         if item is None:
             break
         if isinstance(item, BaseException):
             raise item
-        epoch, epoch_mels = item
+        group, epoch_mels = item
+        epoch = group[-1]  # last epoch in this dispatch group
 
-        if profile_dir and epoch == start_epoch + 2:
+        if profile_dir and not profiled and epoch >= start_epoch + 2:
             jax.profiler.start_trace(profile_dir)
             profiling = True
+            profiled = True
 
-        state, metrics = train_epoch(
-            state, epoch_mels, np.float32(schedule(epoch - 1))
-        )
+        if epd == 1:
+            state, metrics = train_epoch(
+                state, epoch_mels, np.float32(schedule(epoch - 1))
+            )
+        else:
+            lrs = jnp.asarray(
+                [schedule(e - 1) for e in group], jnp.float32
+            )
+            state, metrics = train_epochs(state, epoch_mels, lrs)
+            # Flatten (E, N, ...) -> (E*N, ...): downstream metric
+            # handling is per-step and shape-agnostic.
+            metrics = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), metrics
+            )
 
-        if profiling and epoch >= start_epoch + 3:
+        if profiling:
             jax.block_until_ready(metrics["loss"])
             jax.profiler.stop_trace()
             profiling = False
             print(f"Wrote profiler trace to {profile_dir}")
-        global_step += steps_per_epoch
+        global_step += steps_per_epoch * len(group)
         pending_metrics.append(metrics)
 
-        if epoch % tc.log_interval == 0 and epoch != start_epoch:
+        if (
+            any(e % tc.log_interval == 0 for e in group)
+            and epoch != start_epoch
+        ):
             fetched = bulk_device_get(pending_metrics)
             pending_metrics = []
             meter = RunningMean()
             for m in fetched:
-                for i in range(steps_per_epoch):
+                for i in range(np.asarray(m["loss"]).shape[0]):
                     meter.update(jax.tree.map(lambda x: x[i], m))
             steps_per_sec = meter.count / (time.time() - t0)
             t0 = time.time()
@@ -507,7 +606,10 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
         elif len(pending_metrics) > 2 * tc.log_interval:
             pending_metrics = pending_metrics[-tc.log_interval :]
 
-        if epoch % tc.checkpoint_interval == 0 and epoch != start_epoch:
+        if (
+            any(e % tc.checkpoint_interval == 0 for e in group)
+            and epoch != start_epoch
+        ):
             # Async: D2H + serialization + write overlap the next epochs.
             ckpt_writer.save(checkpoint_dir, epoch, state)
             print(f"Saving checkpoint (async): model.ckpt-{epoch}")
