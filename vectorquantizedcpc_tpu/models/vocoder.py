@@ -253,15 +253,53 @@ def vocoder_forward(
     recurrence is per-example, so each device runs a fully local kernel
     with wh broadcast.
     """
-    cond = build_conditioning(params, conf, z_indices, speaker, compute_dtype)
     t = x_mulaw.shape[1]
-    cond = cond[:, :t]  # guard: val utterances can be 1 frame short
-
-    x_embed = jnp.take(params.ar_embed, x_mulaw, axis=0).astype(compute_dtype)
-    inputs = jnp.concatenate([x_embed, cond], axis=-1)
-
     gru = params.ar_gru
-    xproj = inputs @ gru.wx.astype(compute_dtype) + gru.bx.astype(compute_dtype)
+    embed_dim = params.ar_embed.shape[1]
+    hop = conf.rnnms.upsampling_t
+
+    if use_pallas and compute_dtype == jnp.bfloat16 and t % hop == 0:
+        # Frame-rate input projection (TPU fast path): the conditioning
+        # is constant across the ``hop`` samples of a frame and the
+        # teacher embedding has only 2^bits distinct rows, so the
+        # sample-rate (T*B, E+V) @ (E+V, 3H) projection (451 GFLOP fwd at
+        # the reference shape, and 2x that again in backward) collapses
+        # to (a) a (2^bits, 3H) pre-projected embedding TABLE selected by
+        # a one-hot matmul — a plain gather is the one op this shape must
+        # avoid on TPU — and (b) a FRAME-rate conditioning projection
+        # (B*F, V) @ (V, 3H), 160x smaller, broadcast into the add. The
+        # backward shrinks the same way: d_table is one deep one-hot
+        # contraction and d_cond folds 160 samples per frame before the
+        # matmul. Numerics: same math as the concat form up to split-sum
+        # reassociation (bf16-noise; the f32/golden paths below keep the
+        # reference formulation bit-for-bit).
+        cond_f = build_conditioning_frames(
+            params, conf, z_indices, speaker, compute_dtype
+        )  # (B, F, V)
+        wx_embed = gru.wx[:embed_dim].astype(compute_dtype)
+        wx_cond = gru.wx[embed_dim:].astype(compute_dtype)
+        table = params.ar_embed.astype(compute_dtype) @ wx_embed  # (C, 3H)
+        cond_proj = cond_f @ wx_cond + gru.bx.astype(compute_dtype)
+        n_classes = params.ar_embed.shape[0]
+        onehot = jax.nn.one_hot(x_mulaw, n_classes, dtype=compute_dtype)
+        xp_embed = onehot @ table  # (B, T, 3H)
+        f = t // hop
+        xproj = (
+            xp_embed.reshape(xp_embed.shape[0], f, hop, -1)
+            + cond_proj[:, :f, None, :]
+        ).reshape(xp_embed.shape[0], t, -1)
+    else:
+        cond = build_conditioning(
+            params, conf, z_indices, speaker, compute_dtype
+        )
+        cond = cond[:, :t]  # guard: val utterances can be 1 frame short
+        x_embed = jnp.take(params.ar_embed, x_mulaw, axis=0).astype(
+            compute_dtype
+        )
+        inputs = jnp.concatenate([x_embed, cond], axis=-1)
+        xproj = inputs @ gru.wx.astype(compute_dtype) + gru.bx.astype(
+            compute_dtype
+        )
     xproj = jnp.swapaxes(xproj, 0, 1)  # (T, B, 3H)
 
     h0 = jnp.zeros((x_mulaw.shape[0], gru.wh.shape[0]), compute_dtype)
