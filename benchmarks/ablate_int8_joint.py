@@ -1,0 +1,314 @@
+"""Joint embed/wh channel-scale int8 epilogue: measure, don't argue.
+
+Round 4 rejected this design for the int8 decode kernel on argument
+("precision collapse it imposes on whichever tensor has the smaller
+per-channel range", COVERAGE int8 row); VERDICT r4 #8 asks for numbers.
+
+The idea: if the pre-projected embedding table and the recurrent kernel
+shared one per-channel scale s_j, their int32 accumulators could be
+summed BEFORE dequantization, replacing two (B, 3H) broadcast multiplies
+with one on the r/z slices (the candidate slice cannot join: torch GRU
+semantics keep hn inside the reset product, n = tanh(xn + r*hn), so xn
+and hn must stay separate — the same constraint that killed the r4
+bias-fold variant).
+
+The catch, quantified here: the two accumulators live 127x apart. The
+embedding contributes values directly (one-hot row select); the wh
+contribution is (h*127) . q_wh, i.e. scaled by 127. A shared domain needs
+s_j[c] >= max(|emb[:, c]|_max / 127, |wh[:, c]|_max / 127^2), which
+crushes whichever tensor has the smaller range: at reference magnitudes
+(|emb| ~ N(0,1) rows through the input kernel, |wh| ~ U(+-1/sqrt(896)) ~
+0.03), wh's effective quantum becomes 127*s_j ~ |emb|_max, i.e. the
+recurrent weights round to a handful of levels.
+
+Measures, on real TPU at the reference shape:
+  1. us/step at b128 (and b32) for bf16 / standard int8 / joint int8 —
+     the claimed epilogue saving, bounded by one (B, 2H) multiply.
+  2. Decode-class divergence vs the bf16 kernel (greedy, same weights):
+     classes changed per 1k samples + first divergence step.
+  3. The non-cascading root cause: relative error of the quantized
+     (emb + wh) gate pre-activations vs f32, per scheme, over random
+     bounded states — collapse shows up directly here.
+"""
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+H, CLASSES, T = 896, 256, 4096
+H3 = 3 * H
+H2 = 2 * H
+
+
+def _chunk_for(B: int) -> int:
+    c = 64
+    while c > 2 and 2 * c * B * H3 * 2 > (3 << 20):
+        c //= 2
+    return c
+
+
+def make_kernel(B, CHUNK, mode, greedy):
+    """mode: 'bf16' | 'int8' | 'joint'."""
+
+    def kernel(seed_ref, cond_ref, embed_ref, e_s, e_s_rz, e_s_n,
+               wh_ref, wh_s, fc1_ref, f1_s, fc2_ref, out_ref, h_scr,
+               emb_scr):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            h_scr[:] = jnp.zeros_like(h_scr)
+            emb_scr[:] = jnp.zeros_like(emb_scr)
+
+        if not greedy:
+            pltpu.prng_seed(seed_ref[0] + i)
+
+        def step(t):
+            h = h_scr[:]
+            cond_row = cond_ref[t].astype(jnp.float32)
+            if mode == "joint":
+                # int32-domain sum of the r/z slices, ONE dequant multiply;
+                # the n slice dequantizes separately (reset-gate product).
+                h_i8 = jnp.round(h * 127.0).astype(jnp.int8)
+                acc_wh = jnp.dot(
+                    h_i8, wh_ref[:], preferred_element_type=jnp.int32
+                )
+                acc_emb = emb_scr[:].astype(jnp.int32)
+                acc_rz = acc_emb[:, :H2] + acc_wh[:, :H2]
+                # Scale rows arrive PRE-SLICED (e_s_rz, e_s_n) so every
+                # broadcast starts at lane offset 0 — Mosaic rejects
+                # broadcasting an offset-lane slice of the (1, 3H) row.
+                xh_rz = acc_rz.astype(jnp.float32) * e_s_rz[0][None, :]
+                xn = acc_emb[:, H2:].astype(jnp.float32) * e_s_n[0][None, :]
+                hn = acc_wh[:, H2:].astype(jnp.float32) * e_s_n[0][None, :]
+                pre_rz = xh_rz + cond_row[:, :H2]
+                r = jax.nn.sigmoid(pre_rz[:, :H])
+                z = jax.nn.sigmoid(pre_rz[:, H:])
+                n = jnp.tanh(xn + cond_row[:, H2:] + r * hn)
+            else:
+                use_int8 = mode == "int8"
+                if use_int8:
+                    h_i8 = jnp.round(h * 127.0).astype(jnp.int8)
+                    acc = jnp.dot(
+                        h_i8, wh_ref[:], preferred_element_type=jnp.int32
+                    )
+                    hp = acc.astype(jnp.float32) * wh_s[0][None, :]
+                else:
+                    hp = jnp.dot(
+                        h.astype(jnp.bfloat16), wh_ref[:],
+                        preferred_element_type=jnp.float32,
+                    )
+                xp = emb_scr[:].astype(jnp.float32) * (
+                    e_s[0][None, :] if use_int8 else 1.0
+                ) + cond_row
+                r = jax.nn.sigmoid(xp[:, :H] + hp[:, :H])
+                z = jax.nn.sigmoid(xp[:, H:H2] + hp[:, H:H2])
+                n = jnp.tanh(xp[:, H2:] + r * hp[:, H2:])
+            h_new = (1 - z) * n + z * h
+            h_scr[:] = h_new
+
+            if mode == "bf16":
+                fc = jax.nn.relu(
+                    jnp.dot(h_new.astype(jnp.bfloat16), fc1_ref[:],
+                            preferred_element_type=jnp.float32)
+                )
+            else:
+                hq = jnp.round(h_new * 127.0).astype(jnp.int8)
+                fc = jax.nn.relu(
+                    jnp.dot(hq, fc1_ref[:], preferred_element_type=jnp.int32)
+                    .astype(jnp.float32) * f1_s[0][None, :]
+                )
+            logits = jnp.dot(fc.astype(jnp.bfloat16), fc2_ref[:],
+                             preferred_element_type=jnp.float32)
+            if greedy:
+                sample = jnp.argmax(logits, -1).astype(jnp.int32)
+            else:
+                bits = pltpu.bitcast(
+                    pltpu.prng_random_bits((B, CLASSES)), jnp.int32
+                )
+                u = jax.lax.bitwise_and(bits, (1 << 24) - 1).astype(
+                    jnp.float32
+                ) * (1.0 / (1 << 24)) + 1e-9
+                sample = jnp.argmax(
+                    logits - jnp.log(-jnp.log(u)), -1
+                ).astype(jnp.int32)
+            out_ref[i * CHUNK + t, :] = sample
+            iota = jax.lax.broadcasted_iota(jnp.int32, (B, CLASSES), 1)
+            if mode == "bf16":
+                onehot = (sample[:, None] == iota).astype(jnp.bfloat16)
+                emb_scr[:] = jnp.dot(onehot, embed_ref[:],
+                                     preferred_element_type=jnp.float32)
+            else:
+                onehot = (sample[:, None] == iota).astype(jnp.int8)
+                acc = jnp.dot(onehot, embed_ref[:],
+                              preferred_element_type=jnp.int32)
+                if mode == "int8":
+                    # standard scheme: emb_scr carries the int32 acc too,
+                    # dequantized at use (same FLOPs as production which
+                    # dequantizes here — one multiply either way).
+                    emb_scr[:] = acc.astype(jnp.float32)
+                else:
+                    emb_scr[:] = acc.astype(jnp.float32)
+
+        def body(k, _):
+            step(k)
+            return 0
+
+        jax.lax.fori_loop(0, CHUNK, body, 0)
+
+    return kernel
+
+
+def make_weights(rng):
+    embed_f = rng.normal(size=(CLASSES, H3)).astype(np.float32)
+    wh_f = (rng.normal(size=(H, H3)) * 0.03).astype(np.float32)
+    fc1_f = rng.normal(size=(H, 256)).astype(np.float32)
+    fc2_f = rng.normal(size=(256, CLASSES)).astype(np.float32)
+    return embed_f, wh_f, fc1_f, fc2_f
+
+
+def quantize(mode, embed_f, wh_f, fc1_f):
+    """-> (embed, e_s, wh, wh_s, fc1, f1_s) per scheme.
+
+    Standard int8: per-channel scales, activation 1/127 folded into wh/fc1
+    scales; the embed acc is dequantized by e_s at use.
+    Joint: s_j[c] = max(|emb|_max/127, |wh|_max/127^2); emb_q = emb/s_j,
+    wh_q = wh/(127 s_j) — both int32 accs then share the s_j domain.
+    """
+    ones = np.ones((1, H3), np.float32)
+    if mode == "bf16":
+        return (jnp.asarray(embed_f, jnp.bfloat16), jnp.asarray(ones),
+                jnp.asarray(wh_f, jnp.bfloat16), jnp.asarray(ones),
+                jnp.asarray(fc1_f, jnp.bfloat16),
+                jnp.ones((1, 256), jnp.float32))
+    f1_scale = np.abs(fc1_f).max(0, keepdims=True) / 127.0
+    fc1_q = np.round(fc1_f / f1_scale).astype(np.int8)
+    f1_s = (f1_scale / 127.0).astype(np.float32)
+    if mode == "int8":
+        e_scale = np.abs(embed_f).max(0, keepdims=True) / 127.0
+        embed_q = np.round(embed_f / e_scale).astype(np.int8)
+        w_scale = np.abs(wh_f).max(0, keepdims=True) / 127.0
+        wh_q = np.round(wh_f / w_scale).astype(np.int8)
+        return (jnp.asarray(embed_q), jnp.asarray(e_scale.astype(np.float32)),
+                jnp.asarray(wh_q), jnp.asarray((w_scale / 127.0).astype(np.float32)),
+                jnp.asarray(fc1_q), jnp.asarray(f1_s))
+    # joint
+    s_j = np.maximum(
+        np.abs(embed_f).max(0, keepdims=True) / 127.0,
+        np.abs(wh_f).max(0, keepdims=True) / (127.0 * 127.0),
+    ).astype(np.float32)
+    embed_q = np.clip(np.round(embed_f / s_j), -127, 127).astype(np.int8)
+    wh_q = np.clip(np.round(wh_f / (127.0 * s_j)), -127, 127).astype(np.int8)
+    return (jnp.asarray(embed_q), jnp.asarray(s_j),
+            jnp.asarray(wh_q), jnp.asarray(s_j),
+            jnp.asarray(fc1_q), jnp.asarray(f1_s))
+
+
+def run(B, mode, weights, cond, greedy, reps=3):
+    embed, e_s, wh, wh_s, fc1, f1_s = quantize(mode, *weights[:3])
+    fc2 = jnp.asarray(weights[3], jnp.bfloat16)
+    seed = jnp.asarray([3], jnp.int32)
+    CHUNK = _chunk_for(B)
+    kernel = make_kernel(B, CHUNK, mode, greedy)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T // CHUNK,),
+        in_specs=[
+            pl.BlockSpec((CHUNK, B, H3), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        # Whole-array resident output (T*B int32 = 2 MB at b128):
+        # a (CHUNK, B) block would need CHUNK % 8 == 0, which busts the
+        # VMEM budget at b128; global-indexed writes avoid the constraint.
+        out_specs=pl.BlockSpec((T, B), lambda i, *_: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H3), jnp.float32),
+        ],
+    )
+    f = jax.jit(lambda *a: pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, B), jnp.int32),
+        grid_spec=grid_spec,
+    )(*a))
+    e_s_rz = e_s[:, :H2]
+    e_s_n = e_s[:, H2:]
+    argsv = (seed, cond[:, :B], embed, e_s, e_s_rz, e_s_n, wh, wh_s, fc1,
+             f1_s, fc2)
+    out = np.asarray(f(*argsv))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        o = f(*argsv)
+        jax.block_until_ready(o)
+        best = min(best, time.time() - t0)
+    return best * 1e6 / T, out
+
+
+def gate_error(weights, n_probe=512):
+    """Non-cascading numerics: rel error of the quantized emb+wh gate
+    pre-activations vs f32 over random bounded (h, class) probes."""
+    embed_f, wh_f = weights[0], weights[1]
+    rng = np.random.default_rng(9)
+    h = np.tanh(rng.normal(size=(n_probe, H)).astype(np.float32))
+    cls = rng.integers(0, CLASSES, size=(n_probe,))
+    ref = embed_f[cls] + h @ wh_f  # (n, 3H) f32 truth
+    out = {}
+    for mode in ("int8", "joint"):
+        embed, e_s, wh, wh_s, _f1, _s1 = quantize(mode, *weights[:3])
+        h_i8 = np.round(h * 127.0).astype(np.int32)
+        acc_wh = h_i8 @ np.asarray(wh, np.int32)
+        acc_emb = np.asarray(embed, np.int32)[cls]
+        if mode == "int8":
+            approx = acc_emb * np.asarray(e_s) + acc_wh * np.asarray(wh_s)
+        else:
+            approx = (acc_emb + acc_wh) * np.asarray(e_s)
+        rel = np.abs(approx - ref) / (np.abs(ref).mean() + 1e-9)
+        # wh-only contribution error (the collapsing tensor):
+        wh_ref = h @ wh_f
+        wh_approx = acc_wh * (np.asarray(e_s) if mode == "joint"
+                              else np.asarray(wh_s))
+        wh_rel = np.abs(wh_approx - wh_ref) / (np.abs(wh_ref).mean() + 1e-9)
+        out[mode] = (float(np.mean(rel)), float(np.mean(wh_rel)))
+    return out
+
+
+def main():
+    rng = np.random.default_rng(0)
+    weights = make_weights(rng)
+    # Generate conditioning ON DEVICE: (T, 128, 3H) bf16 is ~2.8 GB —
+    # a host transfer over the tunneled link would dominate the run.
+    cond = jax.jit(
+        lambda k: jax.random.normal(k, (T, 128, H3), jnp.bfloat16)
+    )(jax.random.key(0))
+
+    print("== non-cascading gate-preactivation error (vs f32, mean rel) ==")
+    for mode, (full, wh_only) in gate_error(weights).items():
+        print(f"  {mode:5s}: emb+wh {full:.4f}   wh-contribution {wh_only:.4f}",
+              flush=True)
+
+    print("== greedy decode divergence vs bf16 kernel (B=8) ==")
+    _, ref_cls = run(8, "bf16", weights, cond, greedy=True, reps=1)
+    for mode in ("int8", "joint"):
+        _, cls = run(8, mode, weights, cond, greedy=True, reps=1)
+        diff = cls != ref_cls
+        per_1k = 1000.0 * diff.mean()
+        first = int(np.argmax(diff.any(1))) if diff.any() else -1
+        print(f"  {mode:5s}: classes changed/1k = {per_1k:.1f}  "
+              f"first divergence step = {first}", flush=True)
+
+    print("== sampled-decode step time ==")
+    for B in (32, 128):
+        for mode in ("bf16", "int8", "joint"):
+            us, _ = run(B, mode, weights, cond, greedy=False)
+            print(f"  b{B} {mode:5s}: {us:.2f} us/step", flush=True)
+
+
+if __name__ == "__main__":
+    main()
