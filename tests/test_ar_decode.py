@@ -218,27 +218,39 @@ def test_resolve_precision_prefers_live_capture(tmp_path, monkeypatch):
 
     from vectorquantizedcpc_tpu.ops import ar_decode
 
-    # Capture claiming int8 is faster at EVERY batch.
+    import jax
+
+    local_kind = str(jax.devices()[0].device_kind)
+
+    def reset():
+        monkeypatch.setitem(ar_decode._capture_cache, "loaded", False)
+        monkeypatch.setitem(ar_decode._capture_cache, "table", None)
+
+    # Capture from THIS device kind claiming int8 is faster at EVERY batch.
     cap = {
-        "device": "test",
+        "device": local_kind,
         "bf16": [[8, 5.0], [128, 9.0]],
         "int8": [[8, 1.0], [128, 2.0]],
     }
     path = tmp_path / "BENCH_STEP_US.json"
     path.write_text(json.dumps(cap))
     monkeypatch.setenv("VQCPC_STEP_US_FILE", str(path))
-    monkeypatch.setitem(ar_decode._capture_cache, "loaded", False)
-    monkeypatch.setitem(ar_decode._capture_cache, "table", None)
+    reset()
     assert ar_decode.resolve_precision("auto", 8) == "int8"
     assert ar_decode.resolve_precision("auto", 128) == "int8"
 
+    # Same capture stamped with a DIFFERENT device kind: ignored (timings
+    # from other hardware must not steer auto) -> built-in table wins.
+    cap["device"] = "some other accelerator"
+    path.write_text(json.dumps(cap))
+    reset()
+    assert ar_decode.resolve_precision("auto", 8) == "bf16"
+
     # Corrupt capture: built-in fallback (bf16 wins at b8 there).
     path.write_text("not json")
-    monkeypatch.setitem(ar_decode._capture_cache, "loaded", False)
-    monkeypatch.setitem(ar_decode._capture_cache, "table", None)
+    reset()
     assert ar_decode.resolve_precision("auto", 8) == "bf16"
-    monkeypatch.setitem(ar_decode._capture_cache, "loaded", False)
-    monkeypatch.setitem(ar_decode._capture_cache, "table", None)
+    reset()
 
 
 def test_builtin_step_us_tracks_latest_capture():

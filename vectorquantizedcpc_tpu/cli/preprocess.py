@@ -5,6 +5,12 @@ intended flow per reference README.md:41-43).
 
     python -m vectorquantizedcpc_tpu.cli.preprocess \\
         data.dataset.name=ZR19 data.corpus.root=/data/zr19 out_dir=./features
+
+Destination precedence: a non-default ``out_dir`` wins; with out_dir left
+at its default, ``data.dataset.adress_data_root`` / ``data.adress_data_root``
+(the keys the trainers READ features from) are used so preprocess+train
+round-trip on one flag. Passing out_dir explicitly as the literal default
+"./out" is indistinguishable from not passing it.
 """
 
 from pathlib import Path
@@ -18,15 +24,27 @@ def main() -> None:
     conf = load_conf()
     apply_runtime(conf)
     corpus = get_corpus(conf.data.dataset.name, conf.data.corpus)
+    # Destination: explicit out_dir wins; otherwise honor the feature-root
+    # keys the TRAINERS read from (data.dataset.adress_data_root /
+    # data.adress_data_root), so `preprocess data.adress_data_root=X`
+    # followed by `train_cpc data.adress_data_root=X` round-trips without
+    # the features silently landing in the default ./out.
+    out_dir = conf.out_dir
+    if out_dir == "./out":
+        out_dir = (
+            conf.data.dataset.adress_data_root
+            or conf.data.adress_data_root
+            or out_dir
+        )
     manifest = preprocess_corpus(
         corpus,
-        Path(conf.out_dir),
+        Path(out_dir),
         conf.data.dataset.preprocess,
         num_workers=conf.data.loader.num_workers or 2,
     )
     print(
         f"Preprocessed {len(manifest['utterances'])} utterances, "
-        f"{len(manifest['speakers'])} speakers -> {conf.out_dir}"
+        f"{len(manifest['speakers'])} speakers -> {out_dir}"
     )
 
 

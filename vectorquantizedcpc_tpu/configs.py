@@ -363,9 +363,10 @@ class ConfRuntime:
     profile_dir: Optional[str] = None
     # PRNG implementation for the epoch trainer's negative-sampling keys:
     # null = "rbg" on TPU (hardware generator; threefry randint measured
-    # ~50 us/step there, xprof r4) and "threefry" elsewhere, so CPU
+    # ~50 us/step there, xprof r4) and "threefry2x32" elsewhere, so CPU
     # debugging runs are reproducible/comparable with the per-step path.
-    # Set explicitly to pin either family (ADVICE r4).
+    # Set explicitly ("rbg" / "threefry2x32", the JAX impl names) to pin
+    # either family (ADVICE r4).
     prng_impl: Optional[str] = None
     # Force a JAX platform ("cpu"/"tpu"); null = auto. NOTE: in this
     # environment the JAX_PLATFORMS env var is ignored by the backend

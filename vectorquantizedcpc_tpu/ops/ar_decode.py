@@ -101,19 +101,41 @@ def load_measured_step_us():
     """The latest bench capture's per-batch step-time table, or None.
 
     Format (written by bench.py): {"device": ..., "bf16": [[batch, us],
-    ...], "int8": [[batch, us], ...]}, batches ascending. Cached after
-    the first read; invalid/partial files are ignored (built-in table
-    wins) rather than failing a decode.
+    ...], "int8": [[batch, us], ...]}, batches ascending. A capture
+    recorded on a DIFFERENT device kind than the running chip is ignored
+    (one warning): timings from another TPU generation would steer
+    "auto" toward the wrong mode, breaking the Pareto property the
+    resolver promises. Cached after the first read; invalid/partial
+    files are ignored (built-in table wins) rather than failing a decode.
     """
     if _capture_cache["loaded"]:
         return _capture_cache["table"]
     _capture_cache["loaded"] = True
     import json
 
+    try:
+        import jax
+
+        local_kind = str(jax.devices()[0].device_kind)
+    except Exception:
+        local_kind = ""
+
     for path in _capture_paths():
         try:
             with open(path) as f:
                 data = json.load(f)
+            cap_device = str(data.get("device", ""))
+            if local_kind and cap_device and cap_device != local_kind:
+                from ..utils.warnings_once import warn_once
+
+                warn_once(
+                    f"Ignoring decode step-time capture {path}: it was "
+                    f"measured on {cap_device!r} but this process runs on "
+                    f"{local_kind!r}; 'auto' precision falls back to the "
+                    "built-in table. Run bench.py on this hardware to "
+                    "refresh it."
+                )
+                continue
             table = {
                 mode: [(int(b), float(us)) for b, us in data[mode]]
                 for mode in ("bf16", "int8")

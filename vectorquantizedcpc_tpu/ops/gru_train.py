@@ -40,7 +40,6 @@ re-asserts it COMPILED on the bench chip (bench.py kernel_parity section).
 """
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -468,18 +468,17 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
     if mesh is not None:
         from ..parallel.sharding import batch_sharding
 
-        epoch_batch_sharding = batch_sharding(mesh, 5, axis=1)
-    else:
-        epoch_batch_sharding = None
-
     # Epoch grouping: E epochs per device dispatch (amortizes the
-    # per-dispatch host/link overhead; make_train_epochs). The producer
-    # stages one GROUP ahead; log/checkpoint cadence quantizes to E.
+    # per-dispatch host/link overhead; make_train_epochs). epd = 1 is the
+    # same code path with singleton groups — proven equal to sequential
+    # single-epoch dispatches by test_multi_epoch_dispatch_matches_per_
+    # epoch, so the trainer carries ONE dispatch path. The producer
+    # stages one group ahead; log/checkpoint cadence quantizes to E.
     epd = max(1, int(getattr(tc, "epochs_per_dispatch", 1)))
-    if mesh is not None and epd > 1:
+    if mesh is not None:
         group_sharding = batch_sharding(mesh, 6, axis=2)
     else:
-        group_sharding = epoch_batch_sharding
+        group_sharding = None
 
     def _epoch_producer(q: "_queue.Queue", epochs):
         try:
@@ -492,14 +491,9 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
                     stacked_epochs.append(
                         np.stack([m for m, _spk in iter(loader)])
                     )
-                if epd > 1:
-                    stacked = jax.device_put(
-                        np.stack(stacked_epochs), group_sharding
-                    )
-                else:
-                    stacked = jax.device_put(
-                        stacked_epochs[0], epoch_batch_sharding
-                    )
+                stacked = jax.device_put(
+                    np.stack(stacked_epochs), group_sharding
+                )
                 q.put((group, stacked))
             q.put(None)
         except BaseException as e:
@@ -513,8 +507,7 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
     )
     producer.start()
 
-    train_epoch = make_train_epoch(conf, mesh) if epd == 1 else None
-    train_epochs = make_train_epochs(conf, mesh) if epd > 1 else None
+    train_epochs = make_train_epochs(conf, mesh)
     pending_metrics = []  # device-side metric trees; fetched only at log time
     global_step = 0
     t0 = time.time()
@@ -534,6 +527,7 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
     profiling = False
 
     profiled = False
+    n_dispatches = 0
     while True:
         item = q.get()
         if item is None:
@@ -543,25 +537,23 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
         group, epoch_mels = item
         epoch = group[-1]  # last epoch in this dispatch group
 
-        if profile_dir and not profiled and epoch >= start_epoch + 2:
+        # Trace strictly POST-compile dispatches: the first dispatch of a
+        # fresh run compiles (and, with grouped dispatch, would otherwise
+        # satisfy the epoch threshold immediately and put the multi-second
+        # XLA compile inside the trace).
+        if profile_dir and not profiled and n_dispatches >= 1:
             jax.profiler.start_trace(profile_dir)
             profiling = True
             profiled = True
 
-        if epd == 1:
-            state, metrics = train_epoch(
-                state, epoch_mels, np.float32(schedule(epoch - 1))
-            )
-        else:
-            lrs = jnp.asarray(
-                [schedule(e - 1) for e in group], jnp.float32
-            )
-            state, metrics = train_epochs(state, epoch_mels, lrs)
-            # Flatten (E, N, ...) -> (E*N, ...): downstream metric
-            # handling is per-step and shape-agnostic.
-            metrics = jax.tree.map(
-                lambda x: x.reshape((-1,) + x.shape[2:]), metrics
-            )
+        lrs = jnp.asarray([schedule(e - 1) for e in group], jnp.float32)
+        state, metrics = train_epochs(state, epoch_mels, lrs)
+        n_dispatches += 1
+        # Flatten (E, N, ...) -> (E*N, ...): downstream metric handling
+        # is per-step and shape-agnostic.
+        metrics = jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), metrics
+        )
 
         if profiling:
             jax.block_until_ready(metrics["loss"])
