@@ -862,7 +862,10 @@ def main() -> None:
         # cause. A 4-batch lax.scan in one program amortizes it; this is
         # the realistic boundary for offline corpus encoding (many batches
         # back-to-back) and the primary reported number.
-        n_scan = 4
+        # 16 batches per program: at 4 the ~1 ms per-program launch charge
+        # was still ~50% of the measured time (xprof r5: 0.73 ms/batch on
+        # device vs 1.45 ms/batch benched at n_scan=4).
+        n_scan = 16
         mels_scan = jnp.asarray(
             rng.normal(size=(n_scan, b, 80, t)).astype(np.float32)
         )

@@ -93,11 +93,49 @@ def encode_dataset(conf: ConfGlobal, batch_size: int = 16) -> int:
     # zeros beyond index T-1, which no valid output window touches.
     lengths = [m.shape[1] for m in mels]
 
+    # Fused LSTM forward on TPU (residual-free kernel; ops/lstm_scan.py) —
+    # the same gating as the trainers and bench, so the shipped export
+    # path runs the advertised kernel.
+    use_pallas = (
+        jax.default_backend() == "tpu" and conf.runtime.use_pallas
+    )
     encode_fn = jax.jit(
-        partial(encoder_encode, return_pre_vq=True), static_argnames=()
+        partial(encoder_encode, return_pre_vq=True, use_pallas=use_pallas),
+        static_argnames=(),
     )
 
+    # Pipeline with a bounded in-flight window: dispatches are ASYNC, so
+    # H2D + compute of the next batches overlap the previous batches'
+    # device_get + .txt writes. A per-batch blocking fetch serializes
+    # every batch behind a full link round trip (~25 ms on a tunneled dev
+    # chip vs ~1 ms of compute).
+    from collections import deque
+
+    window = 4
+    pending: "deque" = deque()
     n_done = 0
+
+    def _flush_one() -> int:
+        chunk, res = pending.popleft()
+        z, c, indices, z_pre = jax.device_get(res)
+        done = 0
+        for j, i in enumerate(chunk):
+            n_valid = lengths[i] // 2
+            stem = mel_paths[i].name.replace(".mel.npy", "")
+            with open(out_dir / f"{stem}.txt", "w") as f:
+                np.savetxt(f, z[j, :n_valid], fmt="%.16f")
+            if conf.save_auxiliary:
+                aux1 = out_dir.parent / "auxiliary_embedding1"
+                aux2 = out_dir.parent / "auxiliary_embedding2"
+                aux1.mkdir(exist_ok=True, parents=True)
+                aux2.mkdir(exist_ok=True, parents=True)
+                with open(aux1 / f"{stem}.txt", "w") as f:
+                    np.savetxt(f, c[j, :n_valid], fmt="%.16f")
+                with open(aux2 / f"{stem}.txt", "w") as f:
+                    np.savetxt(f, z_pre[j, :n_valid], fmt="%.16f")
+            done += 1
+        return done
+
     for padded_len, idxs in sorted(_bucket(lengths).items()):
         for b0 in range(0, len(idxs), batch_size):
             chunk = idxs[b0 : b0 + batch_size]
@@ -107,23 +145,11 @@ def encode_dataset(conf: ConfGlobal, batch_size: int = 16) -> int:
             for j, i in enumerate(chunk):
                 batch[j, :, : lengths[i]] = mels[i][:, : lengths[i]]
 
-            z, c, indices, z_pre = jax.device_get(
-                encode_fn(enc_params, vq_state, jnp.asarray(batch))
+            pending.append(
+                (chunk, encode_fn(enc_params, vq_state, jnp.asarray(batch)))
             )
-
-            for j, i in enumerate(chunk):
-                n_valid = lengths[i] // 2
-                stem = mel_paths[i].name.replace(".mel.npy", "")
-                with open(out_dir / f"{stem}.txt", "w") as f:
-                    np.savetxt(f, z[j, :n_valid], fmt="%.16f")
-                if conf.save_auxiliary:
-                    aux1 = out_dir.parent / "auxiliary_embedding1"
-                    aux2 = out_dir.parent / "auxiliary_embedding2"
-                    aux1.mkdir(exist_ok=True, parents=True)
-                    aux2.mkdir(exist_ok=True, parents=True)
-                    with open(aux1 / f"{stem}.txt", "w") as f:
-                        np.savetxt(f, c[j, :n_valid], fmt="%.16f")
-                    with open(aux2 / f"{stem}.txt", "w") as f:
-                        np.savetxt(f, z_pre[j, :n_valid], fmt="%.16f")
-                n_done += 1
+            if len(pending) >= window:
+                n_done += _flush_one()
+    while pending:
+        n_done += _flush_one()
     return n_done

@@ -421,10 +421,12 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
     )
 
     start_epoch = 1
+    resumed_epoch = None  # suppresses an immediate re-save of this epoch
     if conf.resume != "scratch":
         print(f"Resume checkpoint from: {conf.resume}:")
         state = restore_checkpoint(conf.resume, state)
         start_epoch = int(state.epoch)
+        resumed_epoch = start_epoch
         # Reference semantics re-run the checkpointed epoch
         # (train_cpc.py:73,97); the device-side counter increments first.
         state = state.replace(epoch=jnp.asarray(start_epoch - 1, jnp.int32))
@@ -565,7 +567,7 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
 
         if (
             any(e % tc.log_interval == 0 for e in group)
-            and epoch != start_epoch
+            and epoch != resumed_epoch
         ):
             fetched = bulk_device_get(pending_metrics)
             pending_metrics = []
@@ -598,11 +600,15 @@ def train_model(conf: ConfGlobal, max_steps: Optional[int] = None) -> CPCTrainSt
         elif len(pending_metrics) > 2 * tc.log_interval:
             pending_metrics = pending_metrics[-tc.log_interval :]
 
-        if (
-            any(e % tc.checkpoint_interval == 0 for e in group)
-            and epoch != start_epoch
+        if any(
+            e % tc.checkpoint_interval == 0 and e != resumed_epoch
+            for e in group
         ):
             # Async: D2H + serialization + write overlap the next epochs.
+            # The resumed epoch itself is excluded (it already has a
+            # checkpoint on disk); a FRESH run checkpoints whenever the
+            # interval divides the epoch, including epoch 1 with
+            # interval 1 (previously silently skipped).
             ckpt_writer.save(checkpoint_dir, epoch, state)
             print(f"Saving checkpoint (async): model.ckpt-{epoch}")
 
