@@ -794,35 +794,42 @@ def main() -> None:
             jax.random.key(3), conf.model.encoder
         )
         vstate = voc_train.init_train_state(conf, jax.random.key(4))
-        vstep = voc_train.make_train_step(conf)
+        # The shipped grouped-dispatch path (train_vocoder with
+        # trainer.steps_per_dispatch): K steps per lax.scan dispatch,
+        # removing the ~2.7 ms/dispatch host/link overhead the per-step
+        # path pays (xprof r5).
+        k_steps_pd = 10
+        vmulti = voc_train.make_train_multi_step(conf)
         vb = conf.data.loader.batch_size  # 32
         clip = conf.data.dataset.clip_length_mel  # 32
         hop = conf.data.dataset.mel_stft_stride  # 160
         vaudio = jnp.asarray(
-            rng.integers(0, 256, size=(vb, clip * hop + 1)).astype(np.int32)
+            rng.integers(
+                0, 256, size=(k_steps_pd, vb, clip * hop + 1)
+            ).astype(np.int32)
         )
         vmels = jnp.asarray(
-            rng.normal(size=(vb, 80, clip)).astype(np.float32)
+            rng.normal(size=(k_steps_pd, vb, 80, clip)).astype(np.float32)
         )
         vspk = jnp.asarray(
             rng.integers(
-                0, conf.training_vocoder.model.n_speakers, size=(vb,)
+                0, conf.training_vocoder.model.n_speakers,
+                size=(k_steps_pd, vb),
             ).astype(np.int32)
         )
+        vlrs = jnp.full((k_steps_pd,), 4e-4, jnp.float32)
         vholder = {"state": vstate}
-        steps_per_rep = 10  # amortize the ~25 ms per-rep tunnel sync
 
         def vrun(i):
-            # One rep = several pipelined steps (amortizes dispatch), timed
-            # min-of-N across reps (pinned methodology, VERDICT r2 weak #8).
-            for _ in range(steps_per_rep):
-                vholder["state"], vmetrics = vstep(
-                    vholder["state"], enc_params_v, vq_state_v,
-                    vaudio, vmels, vspk, np.float32(4e-4),
-                )
+            # One rep = one K-step dispatch, timed min-of-N across reps
+            # (pinned methodology, VERDICT r2 weak #8).
+            vholder["state"], vmetrics = vmulti(
+                vholder["state"], enc_params_v, vq_state_v,
+                vaudio, vmels, vspk, vlrs,
+            )
             return vmetrics["loss"]
 
-        dt = _bench(vrun, n_rep=4, min_of=True) / steps_per_rep
+        dt = _bench(vrun, n_rep=4, min_of=True) / k_steps_pd
         result["vocoder_train_steps_per_s"] = round(1.0 / dt, 2)
         result["vocoder_train_vs_ref_gpu"] = round(1.0 / dt / 0.84, 1)
         peak = _PEAK_FLOPS.get(result["device"], {}).get("bf16")

@@ -159,3 +159,66 @@ def test_ragged_conditioning_bit_exact(params, small_conf, rng):
             np.asarray(ragged[i, : 2 * n]), np.asarray(solo[0]),
             rtol=0, atol=5e-7,
         )
+
+
+def test_vocoder_multi_step_matches_sequential():
+    """make_train_multi_step (K steps in one dispatch,
+    training_vocoder.trainer.steps_per_dispatch) reproduces K sequential
+    make_train_step calls exactly: same losses, same final params/step."""
+    import jax
+    import jax.numpy as jnp
+
+    from vectorquantizedcpc_tpu.configs import load_conf
+    from vectorquantizedcpc_tpu.models.encoder import encoder_init
+    from vectorquantizedcpc_tpu.training import vocoder as voc_train
+
+    conf = load_conf([
+        "model.encoder.channels=32",
+        "dim_latent=8",
+        "dim_cpc_context=16",
+        "size_latent_codebook=32",
+        "training_vocoder.model.n_speakers=4",
+        "training_vocoder.model.network.dim_speaker_embedding=8",
+        "training_vocoder.model.network.rnnms.dim_voc_latent=16",
+        "training_vocoder.model.network.rnnms.wave_ar.size_i_embed_ar=8",
+        "training_vocoder.model.network.rnnms.wave_ar.size_h_rnn=16",
+        "training_vocoder.model.network.rnnms.wave_ar.size_h_fc=8",
+        "data.dataset.clip_length_mel=4",
+        "data.dataset.mel_stft_stride=8",
+        "runtime.precision=float32",
+    ])
+    rng = np.random.default_rng(3)
+    enc_params, vq_state = encoder_init(jax.random.key(1), conf.model.encoder)
+    k, b = 3, 2
+    clip = conf.data.dataset.clip_length_mel
+    hop = conf.data.dataset.mel_stft_stride
+    audio = rng.integers(0, 256, size=(k, b, clip * hop + 1)).astype(np.int32)
+    mels = rng.normal(size=(k, b, 80, clip)).astype(np.float32)
+    spk = rng.integers(0, 4, size=(k, b)).astype(np.int32)
+    lrs = np.asarray([1e-3, 5e-4, 2e-4], np.float32)
+
+    state_a = voc_train.init_train_state(conf, jax.random.key(2))
+    state_b = jax.tree.map(jnp.copy, state_a)
+
+    step = voc_train.make_train_step(conf)
+    seq_losses = []
+    for i in range(k):
+        state_a, m = step(
+            state_a, enc_params, vq_state, jnp.asarray(audio[i]),
+            jnp.asarray(mels[i]), jnp.asarray(spk[i]), jnp.float32(lrs[i]),
+        )
+        seq_losses.append(float(m["loss"]))
+
+    multi = voc_train.make_train_multi_step(conf)
+    state_b, m_g = multi(
+        state_b, enc_params, vq_state, jnp.asarray(audio),
+        jnp.asarray(mels), jnp.asarray(spk), jnp.asarray(lrs),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m_g["loss"]), np.asarray(seq_losses, np.float32)
+    )
+    assert int(state_b.step) == int(state_a.step) == k
+    for a, b_ in zip(
+        jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))

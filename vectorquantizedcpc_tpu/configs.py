@@ -115,6 +115,7 @@ training_vocoder:
         max_epochs: 540
         val_interval_epoch: 10
         gradient_clip_val: 1.0
+        steps_per_dispatch: 1
         profiler: null
     ckpt_log:
         dir_root: vqcpc_vocoder
@@ -297,6 +298,13 @@ class ConfTrainer:
     val_interval_epoch: int = MISSING
     gradient_clip_val: float = 1.0
     profiler: Optional[str] = None
+    # Optimizer steps folded into ONE device dispatch (lax.scan over
+    # stacked loader batches, per-step LR vector evaluated host-side).
+    # Same rationale as training.cpc.epochs_per_dispatch: each dispatch
+    # carries ~2.7 ms of host/link overhead that does not overlap device
+    # compute on a remote-attached chip (~8% of the 32 ms step).
+    # Checkpoint/preemption checks quantize to this granularity.
+    steps_per_dispatch: int = 1
 
 
 @dataclass

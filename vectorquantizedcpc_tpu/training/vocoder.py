@@ -79,14 +79,9 @@ def init_train_state(conf: ConfGlobal, rng: jax.Array) -> VocoderTrainState:
     )
 
 
-def make_train_step(conf: ConfGlobal, mesh=None):
-    """(state, enc_params, vq_state, audio (B, L+1), mels (B, F, T),
-    speakers (B,), lr) -> (state, metrics).
-
-    With ``mesh``: vocoder params/moments TP-shard per
-    parallel/sharding.py (GRU gate axes, FC output features; embeddings
-    replicated), the frozen encoder params replicate, and the batch shards
-    over the data axis."""
+def _make_step_fn(conf: ConfGlobal, mesh=None):
+    """The pure (unjitted) vocoder train step shared by the single-step
+    and multi-step-per-dispatch factories."""
     net_conf = conf.training_vocoder.model.network
     compute_dtype = resolve_compute_dtype(conf.runtime.precision)
     optimizer = make_optimizer(conf.training_vocoder.trainer.gradient_clip_val)
@@ -124,9 +119,13 @@ def make_train_step(conf: ConfGlobal, mesh=None):
         )
         return new_state, {"loss": loss}
 
-    if mesh is None:
-        return jax.jit(step, donate_argnums=(0,))
+    return step
 
+
+def _vocoder_shardings(conf: ConfGlobal, mesh, batch_leading: int = 0):
+    """(state_sh, enc_sh, vq_sh, audio_sh, mel_sh, spk_sh, repl).
+
+    ``batch_leading`` extra leading (scan) axes before the batch axis."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel.sharding import batch_sharding, state_shardings
@@ -140,19 +139,70 @@ def make_train_step(conf: ConfGlobal, mesh=None):
     enc_template = jax.eval_shape(
         lambda seed: encoder_init(jax.random.key(seed), conf.model.encoder), 0
     )
+    k = batch_leading
+    return (
+        state_sh,
+        repl_tree(enc_template[0]),
+        repl_tree(enc_template[1]),
+        batch_sharding(mesh, 2 + k, axis=k),
+        batch_sharding(mesh, 3 + k, axis=k),
+        batch_sharding(mesh, 1 + k, axis=k),
+        repl,
+    )
+
+
+def make_train_step(conf: ConfGlobal, mesh=None):
+    """(state, enc_params, vq_state, audio (B, L+1), mels (B, F, T),
+    speakers (B,), lr) -> (state, metrics).
+
+    With ``mesh``: vocoder params/moments TP-shard per
+    parallel/sharding.py (GRU gate axes, FC output features; embeddings
+    replicated), the frozen encoder params replicate, and the batch shards
+    over the data axis."""
+    step = _make_step_fn(conf, mesh)
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    sh = _vocoder_shardings(conf, mesh)
     return jax.jit(
         step,
         donate_argnums=(0,),
-        in_shardings=(
-            state_sh,
-            repl_tree(enc_template[0]),
-            repl_tree(enc_template[1]),
-            batch_sharding(mesh, 2),
-            batch_sharding(mesh, 3),
-            batch_sharding(mesh, 1),
-            repl,
-        ),
-        out_shardings=(state_sh, repl),
+        in_shardings=sh,
+        out_shardings=(sh[0], sh[6]),
+    )
+
+
+def make_train_multi_step(conf: ConfGlobal, mesh=None):
+    """K optimizer steps in ONE device dispatch
+    (``training_vocoder.trainer.steps_per_dispatch``): a lax.scan of the
+    train step over stacked loader batches with a per-step LR vector.
+
+    Signature: (state, enc_params, vq_state, audio (K, B, L+1),
+    mels (K, B, F, T), speakers (K, B), lrs (K,)) ->
+    (state, metrics stacked (K,)). Semantically identical to K sequential
+    ``make_train_step`` calls (tests/test_training.py pins the CPC
+    analogue; tests/test_vocoder.py pins this one)."""
+    step = _make_step_fn(conf, mesh)
+
+    def multi(state, enc_params, vq_state, audio, mels, speakers, lrs):
+        def body(st, inp):
+            a, m, s, lr = inp
+            return step(st, enc_params, vq_state, a, m, s, lr)
+
+        return jax.lax.scan(
+            body, state, (audio, mels, speakers, lrs.astype(jnp.float32))
+        )
+
+    if mesh is None:
+        return jax.jit(multi, donate_argnums=(0,))
+
+    sh = _vocoder_shardings(conf, mesh, batch_leading=1)
+    return jax.jit(
+        multi,
+        donate_argnums=(0,),
+        in_shardings=sh,
+        out_shardings=(sh[0], sh[6]),
     )
 
 
@@ -291,7 +341,11 @@ def train_vocoder(
     from ..parallel.mesh import mesh_from_conf
 
     mesh = mesh_from_conf(conf.runtime)
-    train_step = make_train_step(conf, mesh)
+    # K optimizer steps per dispatch (lax.scan over stacked batches;
+    # make_train_multi_step). K = 1 is the same path with singleton
+    # groups; a distinct ragged final group per epoch compiles once.
+    spd = max(1, int(getattr(tv.trainer, "steps_per_dispatch", 1)))
+    train_multi = make_train_multi_step(conf, mesh)
     if mesh is not None:
         from ..parallel.sharding import batch_sharding
 
@@ -300,13 +354,14 @@ def train_vocoder(
         repl = NamedSharding(mesh, P())
         enc_params = jax.device_put(enc_params, jax.tree.map(lambda _: repl, enc_params))
         vq_state = jax.device_put(vq_state, jax.tree.map(lambda _: repl, vq_state))
-        audio_sh = batch_sharding(mesh, 2)
-        mel_sh = batch_sharding(mesh, 3)
-        spk_sh = batch_sharding(mesh, 1)
+        audio_sh = batch_sharding(mesh, 3, axis=1)
+        mel_sh = batch_sharding(mesh, 4, axis=1)
+        spk_sh = batch_sharding(mesh, 2, axis=1)
     else:
         enc_params = jax.device_put(enc_params)
         vq_state = jax.device_put(vq_state)
         audio_sh = mel_sh = spk_sh = None
+    loader.device_put = False  # host-side group stacking, one transfer
 
     global_step = int(state.step)
     start_epoch = int(state.epoch) + 1
@@ -329,37 +384,58 @@ def train_vocoder(
     simple_profiler = tv.trainer.profiler is not None
     prof_totals = {"data_wait_s": 0.0, "train_dispatch_s": 0.0, "n_steps": 0}
 
+    def _grouped(it, k):
+        buf = []
+        for item in it:
+            buf.append(item)
+            if len(buf) == k:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
+
+    steps_since_log = 0
     for epoch in range(start_epoch, tv.trainer.max_epochs + 1):
         loader.set_epoch(epoch)
         t_iter = time.time()
-        for audio, mel, speakers in loader:
+        for group in _grouped(iter(loader), spd):
             prof_totals["data_wait_s"] += time.time() - t_iter
-            if profile_dir and not profiling and global_step == profile_start:
+            if profile_dir and not profiling and global_step >= profile_start:
                 jax.profiler.start_trace(profile_dir)
                 profiling = True
-            lr = jnp.float32(schedule(global_step))
+            k = len(group)
+            lrs = jnp.asarray(
+                [schedule(global_step + j) for j in range(k)], jnp.float32
+            )
+            audio = np.stack([g[0] for g in group])
+            mel = np.stack([g[1] for g in group])
+            speakers = np.stack([g[2] for g in group])
             if mesh is not None:
                 audio = jax.device_put(audio, audio_sh)
                 mel = jax.device_put(mel, mel_sh)
                 speakers = jax.device_put(speakers, spk_sh)
             t_step = time.time()
-            state, metrics = train_step(
-                state, enc_params, vq_state, audio, mel, speakers, lr
+            state, metrics = train_multi(
+                state, enc_params, vq_state, audio, mel, speakers, lrs
             )
             prof_totals["train_dispatch_s"] += time.time() - t_step
-            prof_totals["n_steps"] += 1
-            global_step += 1
-            losses.append(metrics["loss"])
+            prof_totals["n_steps"] += k
+            global_step += k
+            steps_since_log += k
+            losses.append(metrics["loss"])  # (k,) device array
             if profiling and global_step >= profile_start + 3:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
                 profiling = False
                 print(f"Wrote profiler trace to {profile_dir}")
 
-            if global_step % 100 == 0:
-                loss_mean = float(np.mean(jax.device_get(losses)))
-                rate = 100 / (time.time() - t_log)
+            if steps_since_log >= 100:
+                loss_mean = float(
+                    np.mean(np.concatenate(jax.device_get(losses)))
+                )
+                rate = steps_since_log / (time.time() - t_log)
                 t_log = time.time()
+                steps_since_log = 0
                 print(
                     f"step:{global_step} epoch:{epoch} loss:{loss_mean:.4f} "
                     f"{rate:.2f} steps/s"
