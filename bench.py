@@ -93,7 +93,14 @@ def _cpc_fwd_flops(conf) -> float:
 
 
 def _vocoder_fwd_flops(conf, batch: int, t_samples: int) -> float:
-    """Forward FLOPs of one teacher-forced vocoder batch (model math)."""
+    """Forward FLOPs of one teacher-forced vocoder batch (model math).
+
+    Counts the REFERENCE formulation's FLOPs, including the sample-rate
+    input projection that the frame-rate restructure (models/vocoder.py)
+    no longer executes — i.e. vocoder_train_mfu is "model FLOPs per
+    second vs peak" (the standard convention for algorithmic savings,
+    like not counting masked-out attention), not device utilization.
+    """
     net = conf.training_vocoder.model.network
     rn = net.rnnms
     h = rn.wave_ar.size_h_rnn

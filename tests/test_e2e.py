@@ -267,3 +267,26 @@ def test_validate_runs_fused_decode_path(vocoder_trained, workspace, monkeypatch
         wave, _ = read_wav(w)
         # floor(T/2) codes -> x2 -> x hop samples.
         assert len(wave) == (mel.shape[1] // 2) * 2 * 160
+
+
+def test_vocoder_training_ragged_group_dispatch(trained, workspace, tmp_path):
+    """steps_per_dispatch that does not divide the per-epoch batch count:
+    the ragged final group must dispatch (second compile) and the step
+    counter/checkpoint land exactly where the per-step path would."""
+    conf = _conf(
+        workspace,
+        [
+            # 2 batches/epoch (9 train utts, batch 4, drop_last), so a
+            # group size of 3 always yields a RAGGED group of 2.
+            "training_vocoder.trainer.steps_per_dispatch=3",
+            "training_vocoder.trainer.max_epochs=10",
+            f"training_vocoder.ckpt_log.dir_root={tmp_path / 'voc_ragged'}",
+        ],
+    )
+    from vectorquantizedcpc_tpu.infer.encode import load_encoder_checkpoint
+
+    enc, vq = load_encoder_checkpoint(workspace / "ckpt" / "model.ckpt-6", conf)
+    state = train_vocoder(
+        conf, enc, vq, workspace / "features", max_steps=6
+    )
+    assert int(state.step) == 6
