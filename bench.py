@@ -403,7 +403,7 @@ def main() -> None:
         candidates = []
         for batch, precision in (
             (8, "bf16"), (8, "int8"), (32, "bf16"), (32, "int8"),
-            (48, "bf16"), (64, "bf16"), (64, "int8"),
+            (48, "bf16"), (48, "int8"), (64, "bf16"), (64, "int8"),
             (128, "bf16"), (128, "int8"),
         ):
             # Per-config guard: one failing point (e.g. an OOM at a large
@@ -540,6 +540,23 @@ def main() -> None:
             for _ in range(48)
         ]
         valid = sum(2 * len(z_) * hop for z_, _ in reqs)
+        # Analytic slot-utilization ceiling for THIS request mix: LPT
+        # segments over the slot pool (the server's own admission policy);
+        # valid frames / (makespan x sf x slots). The measured inproc
+        # ratio reads against this, not against 1.0 — the longest stream
+        # pins the makespan and tail slots idle.
+        import heapq
+
+        _sf, _slots = 4, 32
+        _heap = [0] * _slots
+        for seg in sorted(
+            (-(-2 * len(z_) // _sf) for z_, _ in reqs), reverse=True
+        ):
+            heapq.heappush(_heap, heapq.heappop(_heap) + seg)
+        result["serving_mix_utilization_ceiling"] = round(
+            sum(2 * len(z_) for z_, _ in reqs) / (max(_heap) * _sf * _slots),
+            3,
+        )
         # min-of-N; rep 0 warms every compiled program on the planned-drain
         # path (per-bucket conditioning, per-chunk-size drain programs).
         # Two boundaries, pinned methodology: "to device" (every stream's
@@ -631,6 +648,47 @@ def main() -> None:
         result["serving_vs_b32_kernel_inproc_min"] = round(ratios_sorted[0], 3)
         result["serving_vs_b32_kernel_inproc_max"] = round(ratios_sorted[-1], 3)
         result["serving_inproc_measurements"] = [round(r, 3) for r in ratios]
+
+        # CONTINUOUS boundary: all 5 reps' worth of requests queued up
+        # front — the production serving pattern (admission refills freed
+        # slots mid-flight), which removes the inter-drain slot tails the
+        # 48-request drain pays every rep. Its utilization ceiling is
+        # correspondingly higher; both the measurement and the ceiling
+        # are recorded so the ratio reads against the right bound.
+        reqs240 = reqs * 5
+        valid240 = 5 * valid
+        _heap = [0] * _slots
+        for seg in sorted(
+            (-(-2 * len(z_) // _sf) for z_, _ in reqs240), reverse=True
+        ):
+            heapq.heappush(_heap, heapq.heappop(_heap) + seg)
+        result["serving_continuous_utilization_ceiling"] = round(
+            sum(2 * len(z_) for z_, _ in reqs240)
+            / (max(_heap) * _sf * _slots),
+            3,
+        )
+
+        def _one_continuous_measurement():
+            for z_, s_ in reqs240:
+                server.submit(z_, s_)
+            t0 = time.time()
+            server.run(materialize=False)
+            dt = time.time() - t0
+            server._pending.clear()
+            server._results.clear()
+            return valid240 / dt
+
+        _one_continuous_measurement()  # warm the 240-request drain shapes
+        cont_rates = [_one_continuous_measurement() for _ in range(5)]
+        cont_med = sorted(cont_rates)[len(cont_rates) // 2]
+        kern_med = sorted(kern_rates)[len(kern_rates) // 2]
+        result["serving_continuous_samples_per_s"] = round(cont_med)
+        result["serving_continuous_vs_b32_kernel"] = round(
+            cont_med / kern_med, 3
+        )
+        result["serving_continuous_measurements"] = [
+            round(r / kern_med, 3) for r in cont_rates
+        ]
 
         # int8 serving point: 64 slots is at int8's measured crossover
         # (int8_speedup_b64 > 1), so "auto" resolves to int8 there; a bf16

@@ -229,3 +229,97 @@ def test_drain_wait_false_results_match(setup, rng):
     lazy = run_once(False)
     for a, b in zip(waved, lazy):
         np.testing.assert_array_equal(a, b)
+
+
+def test_vectorized_schedule_matches_stepwise():
+    """compute_drain_schedule (heap + numpy span fill, O(requests)) must
+    reproduce the original stepwise FIFO-into-freed-slots admission loop
+    exactly — tables, reassembly map, pos0 map, and valid count — across
+    random mixes including inflight slot occupants."""
+    import numpy as np
+
+    from vectorquantizedcpc_tpu.infer.serving import compute_drain_schedule
+
+    def stepwise(s_count, sf, hop, slots_live, queued, rid_row):
+        from collections import deque
+
+        slots_live = [None if a is None else list(a) for a in slots_live]
+        q = deque(queued)
+        rid_sched, rid_pos0 = {}, {}
+        for i in range(s_count):
+            a = slots_live[i]
+            if a is not None:
+                rid_sched[a[0]] = (i, 0, -(-(a[3] - a[2]) // sf))
+        rows_t, pos_t, fresh_t = [], [], []
+        valid = 0
+        while q or any(a is not None for a in slots_live):
+            step_idx = len(rows_t)
+            rows = np.full(s_count, -1, np.int32)
+            pos = np.zeros(s_count, np.int32)
+            fresh = np.zeros(s_count, np.bool_)
+            for i in range(s_count):
+                if slots_live[i] is None and q:
+                    rid, r, total = q.popleft()
+                    slots_live[i] = [rid, r, 0, total]
+                    rid_pos0[rid] = 0
+                    rid_sched[rid] = (i, step_idx, -(-total // sf))
+                    fresh[i] = True
+                a = slots_live[i]
+                if a is not None:
+                    rows[i], pos[i] = a[1], a[2]
+            rows_t.append(rows)
+            pos_t.append(pos)
+            fresh_t.append(fresh)
+            for i in range(s_count):
+                a = slots_live[i]
+                if a is None:
+                    continue
+                valid += min(a[3] - a[2], sf) * hop
+                a[2] += sf
+                if a[2] >= a[3]:
+                    slots_live[i] = None
+        return (
+            np.stack(rows_t) if rows_t else np.zeros((0, s_count), np.int32),
+            np.stack(pos_t) if pos_t else np.zeros((0, s_count), np.int32),
+            np.stack(fresh_t) if fresh_t else np.zeros((0, s_count), bool),
+            rid_sched,
+            rid_pos0,
+            valid,
+        )
+
+    rng = np.random.default_rng(11)
+    for trial in range(30):
+        s_count = int(rng.integers(1, 9))
+        sf = int(rng.choice([2, 4, 8]))
+        hop = 160
+        rid = 0
+        slots_live = [None] * s_count
+        for i in range(s_count):
+            if rng.random() < 0.4:
+                total = int(rng.integers(1, 40))
+                pos = int(rng.integers(0, total))
+                pos -= pos % sf  # pos advances in sf quanta
+                slots_live[i] = [rid, i, pos, total]
+                rid += 1
+        rid_row = {r: a[1] for a in slots_live if a is not None
+                   for r in [a[0]]}
+        queued = []
+        lens = sorted(
+            (int(rng.integers(1, 60)) for _ in range(int(rng.integers(0, 20)))),
+            reverse=True,
+        )
+        for total in lens:
+            rid_row[rid] = 100 + rid
+            queued.append((rid, 100 + rid, total))
+            rid += 1
+
+        got = compute_drain_schedule(
+            s_count, sf, hop, slots_live, list(queued), rid_row
+        )
+        want = stepwise(s_count, sf, hop, slots_live, list(queued), rid_row)
+        np.testing.assert_array_equal(got[0], want[0], err_msg=f"rows t{trial}")
+        np.testing.assert_array_equal(got[1], want[1], err_msg=f"pos t{trial}")
+        np.testing.assert_array_equal(got[2], want[2], err_msg=f"fresh t{trial}")
+        assert got[3] == want[3], f"rid_sched t{trial}"
+        assert got[4] == want[4], f"rid_pos0 t{trial}"
+        assert got[5] == want[5], f"valid t{trial}"

@@ -101,6 +101,70 @@ def _chunk_sizes(n: int, max_chunk: int = 64) -> List[int]:
     return sizes
 
 
+def compute_drain_schedule(s_count, sf, hop, slots_live, queued, rid_row):
+    """Drain schedule tables, O(requests) python (r5; the former stepwise
+    loop cost O(n_steps * slots) — ~10-15 ms per 240-request drain INSIDE
+    the timed window before the first chunk dispatch).
+
+    Semantics (identical to stepwise FIFO-into-freed-slots admission;
+    equivalence pinned by tests/test_serving.py::
+    test_vectorized_schedule_matches_stepwise): each slot runs its
+    requests back-to-back; queue order maps onto slots through an
+    (end_step, slot_idx) min-heap — the same assignment as scanning slots
+    in index order every step and admitting the queue front into the
+    first free slot (ties break toward the lower slot index, matching
+    heapq tuple order). Spans then fill the (n_steps, slots) tables via
+    numpy slice writes.
+
+    Args:
+        slots_live: per-slot ``[rid, row, pos, total]`` or None (inflight
+            requests already occupying slots; they run from step 0).
+        queued: iterable of ``(rid, row, total)`` in admission order.
+        rid_row: rid -> conditioning row index.
+    Returns:
+        (rows_t (n_steps, slots) int32, pos_t int32, fresh_t bool,
+         rid_sched {rid: (slot, first_step, nseg)}, rid_pos0 {rid: pos0},
+         valid_samples)
+    """
+    import heapq as _hq
+
+    assigns = []  # (rid, slot, start_step, pos0, total, is_new)
+    ends = [0] * s_count
+    for i in range(s_count):
+        a = slots_live[i]
+        if a is not None:
+            rid, _row, pos0, total = a
+            assigns.append((rid, i, 0, pos0, total, False))
+            ends[i] = -(-(total - pos0) // sf)
+    heap = [(ends[i], i) for i in range(s_count)]
+    _hq.heapify(heap)
+    for rid, _row, total in queued:
+        t0, i = _hq.heappop(heap)
+        assigns.append((rid, i, t0, 0, total, True))
+        _hq.heappush(heap, (t0 + -(-total // sf), i))
+    n_steps = max(
+        (t0 + -(-(total - pos0) // sf)
+         for _rid, _i, t0, pos0, total, _n in assigns),
+        default=0,
+    )
+    rows_t = np.full((n_steps, s_count), -1, np.int32)
+    pos_t = np.zeros((n_steps, s_count), np.int32)
+    fresh_t = np.zeros((n_steps, s_count), np.bool_)
+    rid_sched = {}
+    rid_pos0 = {}
+    valid = 0
+    for rid, i, t0, pos0, total, is_new in assigns:
+        nseg = -(-(total - pos0) // sf)
+        rows_t[t0 : t0 + nseg, i] = rid_row[rid]
+        pos_t[t0 : t0 + nseg, i] = pos0 + sf * np.arange(nseg)
+        if is_new:
+            fresh_t[t0, i] = True
+            rid_pos0[rid] = 0
+        rid_sched[rid] = (i, t0, nseg)
+        valid += (total - pos0) * hop
+    return rows_t, pos_t, fresh_t, rid_sched, rid_pos0, valid
+
+
 @dataclass
 class _Slot:
     rid: Optional[int] = None
@@ -517,35 +581,12 @@ class ContinuousBatcher:
                 key=lambda t: -t[2],
             )
         )
-        rows_t, pos_t, fresh_t = [], [], []
-        valid = 0
-        while q or any(a is not None for a in slots_live):
-            step_idx = len(rows_t)
-            rows = np.full(s_count, -1, np.int32)
-            pos = np.zeros(s_count, np.int32)
-            fresh = np.zeros(s_count, np.bool_)
-            for i in range(s_count):
-                if slots_live[i] is None and q:
-                    rid, r, total = q.popleft()
-                    slots_live[i] = [rid, r, 0, total]
-                    rid_pos0[rid] = 0
-                    rid_sched[rid] = (i, step_idx, -(-total // sf))
-                    fresh[i] = True
-                a = slots_live[i]
-                if a is not None:
-                    rows[i], pos[i] = a[1], a[2]
-            rows_t.append(rows)
-            pos_t.append(pos)
-            fresh_t.append(fresh)
-            for i in range(s_count):
-                a = slots_live[i]
-                if a is None:
-                    continue
-                valid += min(a[3] - a[2], sf) * hop
-                a[2] += sf
-                if a[2] >= a[3]:
-                    slots_live[i] = None
-        n_steps = len(rows_t)
+        rows_t, pos_t, fresh_t, sched_map, pos0_map, valid = (
+            compute_drain_schedule(s_count, sf, hop, slots_live, q, rid_row)
+        )
+        rid_sched.update(sched_map)
+        rid_pos0.update(pos0_map)
+        n_steps = rows_t.shape[0]
         _mark(f"schedule ({n_steps} steps)")
 
         # ---- Execute: a few scan chunks. Decoded classes come back as the
@@ -643,13 +684,7 @@ class ContinuousBatcher:
         # per table on tunneled links); per-chunk inputs are then eager
         # device-side slices (pure dispatches, no further transfers).
         sched = jnp.asarray(
-            np.stack(
-                [
-                    np.stack(rows_t),
-                    np.stack(pos_t),
-                    np.stack(fresh_t).astype(np.int32),
-                ]
-            )
+            np.stack([rows_t, pos_t, fresh_t.astype(np.int32)])
         )  # (3, n_steps, slots) — ONE upload for the whole schedule
         rows_all, pos_all = sched[0], sched[1]
         fresh_all = sched[2].astype(jnp.bool_)
