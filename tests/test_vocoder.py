@@ -222,3 +222,38 @@ def test_vocoder_multi_step_matches_sequential():
         jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_ragged_conditioning_pallas_close_to_scan(params, small_conf, rng):
+    """The serving TPU path's ragged conditioning (all four PreNet GRU
+    directions through the fused Pallas kernel in bf16, masked reverse
+    for the backward direction) matches the f32 scan formulation on every
+    valid prefix at bf16 tolerance — the decode kernel consumes the
+    conditioning at bf16, so this is the precision that matters."""
+    from vectorquantizedcpc_tpu.models.vocoder import (
+        build_conditioning_frames_ragged,
+    )
+
+    n_codes = [3, 7, 5, 7, 1, 4]
+    max_codes = 8
+    g = len(n_codes)
+    zs = np.zeros((g, max_codes), np.int32)
+    spks = np.asarray([i % 4 for i in range(g)], np.int32)
+    for i, n in enumerate(n_codes):
+        zs[i, :n] = rng.integers(0, 12, size=(n,))
+    n_frames = jnp.asarray([2 * n for n in n_codes], jnp.int32)
+
+    ref = build_conditioning_frames_ragged(
+        params, small_conf, jnp.asarray(zs), jnp.asarray(spks), n_frames
+    )
+    fast = build_conditioning_frames_ragged(
+        params, small_conf, jnp.asarray(zs), jnp.asarray(spks), n_frames,
+        use_pallas=True, pallas_interpret=True,
+    )
+    assert fast.dtype == jnp.bfloat16
+    for i, n in enumerate(n_codes):
+        np.testing.assert_allclose(
+            np.asarray(fast[i, : 2 * n], np.float32),
+            np.asarray(ref[i, : 2 * n], np.float32),
+            atol=3e-2,
+        )

@@ -740,7 +740,9 @@ class ContinuousBatcher:
                 c = project_cond_frames(
                     self._weights,
                     build_conditioning_frames_ragged(
-                        self._params, self._conf, zs, spks, nf
+                        self._params, self._conf, zs, spks, nf,
+                        use_pallas=True,
+                        pallas_interpret=self._interpret,
                     ),
                 )  # (G, 2*mc_pad, 3H)
                 c = c[:, : self._max_frames]

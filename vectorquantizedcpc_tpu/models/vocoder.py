@@ -125,6 +125,8 @@ def build_conditioning_frames_ragged(
     speaker: jax.Array,  # (G,)
     n_frames: jax.Array,  # (G,) valid FRAME counts (= 2 * true code counts)
     compute_dtype: jnp.dtype = jnp.float32,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> jax.Array:
     """Ragged-batch conditioning: one biGRU pass over a padded batch whose
     rows have different true lengths, BIT-EXACT with per-row
@@ -135,33 +137,95 @@ def build_conditioning_frames_ragged(
 
     - forward GRU on the padded rows as-is (causal: the valid prefix never
       sees the padded tail);
-    - backward GRU as a FORWARD scan over each row flipped by its own
-      length (``x[L-1], ..., x[0], x[0], ...``): the valid prefix is the
-      same value sequence in the same order as an unpadded reverse scan —
-      bit-identical outputs — and the flipped-back tail is garbage that
-      stays bounded (sigmoid/tanh) and never reaches a valid position.
+    - backward GRU as a MASKED reverse scan: update the carry only where
+      ``t < n_frames[g]``, so the scan passes the zero initial state
+      through each row's padded tail unchanged and enters that row's
+      valid region with exactly the unpadded reverse scan's h0 —
+      bit-identical outputs on valid positions. (An earlier formulation
+      flipped each row by its own length with two take_along_axis gathers
+      per layer; those (G, T, V) gathers cost ~20 ms of the 32 ms ragged
+      conditioning at the 240-request serving shape — the TPU-gather
+      pathology again — where the mask is one select per step.)
 
     Built for the continuous-batching server: conditioning for ALL queued
     requests in ONE dispatch, instead of one compile+dispatch per distinct
-    length (infer/serving.py)."""
+    length (infer/serving.py).
+
+    ``use_pallas`` (the server's TPU path) runs all four GRU directions
+    through the fused Pallas kernel in bfloat16 — the scan formulation
+    cost ~28 ms of a 240-request drain (~800 sequential tiny-matmul
+    steps), ~10% of the whole decode, and the conditioning is consumed at
+    bf16 by the decode kernel anyway. The reversed direction feeds the
+    kernel a time-flipped xproj with the per-row valid mask (masked steps
+    freeze the carry), which reproduces each row's unpadded reverse scan
+    on its valid region at bf16 precision."""
     z_embed = jnp.take(params.code_embedding, z_indices, axis=0)
     z_up = jnp.repeat(z_embed, 2, axis=1)
     spk = jnp.take(params.speaker_embedding, speaker, axis=0)
     spk_up = jnp.broadcast_to(
         spk[:, None, :], (z_up.shape[0], z_up.shape[1], spk.shape[-1])
     )
+    if use_pallas:
+        compute_dtype = jnp.bfloat16
     cond = jnp.concatenate([z_up, spk_up], axis=-1).astype(compute_dtype)
 
     t = cond.shape[1]
-    pos = jnp.arange(t)[None, :]
-    flip_idx = jnp.clip(n_frames[:, None] - 1 - pos, 0, t - 1)  # (G, T)
+    from .rnn import gru_step
+
+    valid_tg = jnp.arange(t)[:, None] < n_frames[None, :]  # (T, G)
+
+    if use_pallas:
+        from ..ops.gru_train import fused_gru_scan, fused_gru_scan_masked
+
+        for fwd, bwd in zip(params.prenet_fwd, params.prenet_bwd):
+            h0 = jnp.zeros(
+                (cond.shape[0], fwd.wh.shape[0]), jnp.bfloat16
+            )
+            xp_f = jnp.swapaxes(
+                cond @ fwd.wx.astype(cond.dtype) + fwd.bx.astype(cond.dtype),
+                0, 1,
+            )
+            out_f = jnp.swapaxes(
+                fused_gru_scan(
+                    fwd.wh.astype(jnp.bfloat16), fwd.bh.astype(jnp.bfloat16),
+                    xp_f, h0, pallas_interpret,
+                ),
+                0, 1,
+            )
+            xp_b = jnp.swapaxes(
+                cond @ bwd.wx.astype(cond.dtype) + bwd.bx.astype(cond.dtype),
+                0, 1,
+            )
+            hs_rev = fused_gru_scan_masked(
+                bwd.wh.astype(jnp.bfloat16), bwd.bh.astype(jnp.bfloat16),
+                jnp.flip(xp_b, axis=0), jnp.flip(valid_tg, axis=0), h0,
+                pallas_interpret,
+            )
+            out_b = jnp.swapaxes(jnp.flip(hs_rev, axis=0), 0, 1)
+            cond = jnp.concatenate([out_f, out_b], axis=-1)
+        return cond
+
+    def masked_reverse_gru(gparams, x):
+        xproj = x @ gparams.wx.astype(x.dtype) + gparams.bx.astype(x.dtype)
+        xproj = jnp.swapaxes(xproj, 0, 1)  # (T, G, 3H)
+        h0 = jnp.zeros((x.shape[0], gparams.wh.shape[0]), x.dtype)
+
+        def step(h, inp):
+            xp_t, v_t = inp
+            h_new = gru_step(gparams, h, xp_t)
+            h = jnp.where(v_t[:, None], h_new, h)
+            return h, h
+
+        _, out = jax.lax.scan(
+            step, h0, (xproj, valid_tg), reverse=True, unroll=8
+        )
+        return jnp.swapaxes(out, 0, 1)  # (G, T, H)
+
     from .rnn import gru_apply
 
     for fwd, bwd in zip(params.prenet_fwd, params.prenet_bwd):
         out_f, _ = gru_apply(fwd, cond)
-        flipped = jnp.take_along_axis(cond, flip_idx[:, :, None], axis=1)
-        out_b_f, _ = gru_apply(bwd, flipped)
-        out_b = jnp.take_along_axis(out_b_f, flip_idx[:, :, None], axis=1)
+        out_b = masked_reverse_gru(bwd, cond)
         cond = jnp.concatenate([out_f, out_b], axis=-1)
     return cond
 

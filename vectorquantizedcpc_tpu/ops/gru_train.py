@@ -242,6 +242,115 @@ def _bwd_call(acts, hns, hprevs, dhs, wh_t, dhT, hidden, chunk_t, interpret):
     )(acts, hns, hprevs, dhs, wh_t, dhT)
 
 
+def _fwd_kernel_masked(
+    xproj_ref,  # (CT, B, 3H) bf16 — streamed
+    valid_ref,  # (CT, B, 1) int32 — streamed; 0 = carry passes through
+    wh_ref,  # (H, 3H) bf16 — resident
+    bh_ref,  # (1, 3H) f32 — resident
+    h0_ref,  # (B, H) f32
+    hs_ref,  # (CT, B, H) bf16 — out, streamed
+    hT_ref,  # (B, H) f32 — out, constant block
+    h_scr,  # (B, H) f32 scratch
+    *,
+    chunk_t: int,
+    hidden: int,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        h_scr[:] = h0_ref[:]
+
+    def step(t, _):
+        h = h_scr[:]
+        hproj = jnp.dot(
+            h.astype(jnp.bfloat16), wh_ref[:],
+            preferred_element_type=jnp.float32,
+        ) + bh_ref[:]
+        xp = xproj_ref[t].astype(jnp.float32)
+        r = jax.nn.sigmoid(xp[:, :hidden] + hproj[:, :hidden])
+        z = jax.nn.sigmoid(
+            xp[:, hidden : 2 * hidden] + hproj[:, hidden : 2 * hidden]
+        )
+        n = jnp.tanh(xp[:, 2 * hidden :] + r * hproj[:, 2 * hidden :])
+        h_new = (1.0 - z) * n + z * h
+        # Ragged-batch mask: rows whose valid flag is 0 at this step keep
+        # their carry (the zero initial state through a padded prefix), so
+        # a time-reversed padded batch reproduces each row's unpadded
+        # reverse scan bit-for-bit on its valid region
+        # (models/vocoder.py:build_conditioning_frames_ragged).
+        h_new = jnp.where(valid_ref[t] != 0, h_new, h)
+        hs_ref[t] = h_new.astype(jnp.bfloat16)
+        h_scr[:] = h_new
+        return 0
+
+    jax.lax.fori_loop(0, chunk_t, step, 0)
+    hT_ref[:] = h_scr[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hidden", "chunk_t", "interpret")
+)
+def _fwd_call_masked(xproj, valid, wh, bh, h0, hidden, chunk_t, interpret):
+    t, b, gdim = xproj.shape
+    n_chunks = t // chunk_t
+    stream = lambda width: pl.BlockSpec(
+        (chunk_t, b, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_masked, chunk_t=chunk_t, hidden=hidden
+        ),
+        grid=(n_chunks,),
+        in_specs=[
+            stream(gdim),
+            stream(1),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            stream(hidden),
+            pl.BlockSpec(
+                (b, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, hidden), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(xproj, valid, wh, bh, h0)
+
+
+def fused_gru_scan_masked(
+    wh: jax.Array,  # (H, 3H)
+    bh: jax.Array,  # (3H,)
+    xproj: jax.Array,  # (T, B, 3H)
+    valid: jax.Array,  # (T, B) bool/int — 0 freezes the carry that step
+    h0: jax.Array,  # (B, H)
+    interpret: bool = False,
+) -> jax.Array:
+    """Masked GRU recurrence (forward-only, no VJP): -> hs (T, B, H) bf16.
+
+    Built for ragged-batch inference (the serving conditioning PreNet):
+    masked steps pass the carry through unchanged. Differentiation is not
+    supported — train paths use :func:`fused_gru_scan`.
+    """
+    t = xproj.shape[0]
+    hidden = wh.shape[0]
+    hs, _hT = _fwd_call_masked(
+        xproj.astype(jnp.bfloat16),
+        jnp.asarray(valid, jnp.int32)[:, :, None],
+        wh.astype(jnp.bfloat16),
+        bh.astype(jnp.float32).reshape(1, -1),
+        h0.astype(jnp.float32),
+        hidden=hidden,
+        chunk_t=_pick_chunk(t),
+        interpret=interpret,
+    )
+    return hs
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_gru_scan(
     wh: jax.Array,  # (H, 3H)
