@@ -540,23 +540,28 @@ def main() -> None:
             for _ in range(48)
         ]
         valid = sum(2 * len(z_) * hop for z_, _ in reqs)
-        # Analytic slot-utilization ceiling for THIS request mix: LPT
+
+        # Analytic slot-utilization ceiling for a request mix: LPT
         # segments over the slot pool (the server's own admission policy);
-        # valid frames / (makespan x sf x slots). The measured inproc
-        # ratio reads against this, not against 1.0 — the longest stream
-        # pins the makespan and tail slots idle.
+        # valid frames / (makespan x sf x slots). Measured ratios read
+        # against this, not against 1.0 — the longest stream pins the
+        # makespan and tail slots idle. Parameters are the SERVER's
+        # (slots/segment_frames above), not constants.
         import heapq
 
-        _sf, _slots = 4, 32
-        _heap = [0] * _slots
-        for seg in sorted(
-            (-(-2 * len(z_) // _sf) for z_, _ in reqs), reverse=True
-        ):
-            heapq.heappush(_heap, heapq.heappop(_heap) + seg)
-        result["serving_mix_utilization_ceiling"] = round(
-            sum(2 * len(z_) for z_, _ in reqs) / (max(_heap) * _sf * _slots),
-            3,
-        )
+        _sf, _slots = server._segment_frames, len(server._slot_meta)
+
+        def mix_ceiling(reqs_):
+            heap = [0] * _slots
+            for seg in sorted(
+                (-(-2 * len(z_) // _sf) for z_, _ in reqs_), reverse=True
+            ):
+                heapq.heappush(heap, heapq.heappop(heap) + seg)
+            return sum(2 * len(z_) for z_, _ in reqs_) / (
+                max(heap) * _sf * _slots
+            )
+
+        result["serving_mix_utilization_ceiling"] = round(mix_ceiling(reqs), 3)
         # min-of-N; rep 0 warms every compiled program on the planned-drain
         # path (per-bucket conditioning, per-chunk-size drain programs).
         # Two boundaries, pinned methodology: "to device" (every stream's
@@ -657,15 +662,8 @@ def main() -> None:
         # are recorded so the ratio reads against the right bound.
         reqs240 = reqs * 5
         valid240 = 5 * valid
-        _heap = [0] * _slots
-        for seg in sorted(
-            (-(-2 * len(z_) // _sf) for z_, _ in reqs240), reverse=True
-        ):
-            heapq.heappush(_heap, heapq.heappop(_heap) + seg)
         result["serving_continuous_utilization_ceiling"] = round(
-            sum(2 * len(z_) for z_, _ in reqs240)
-            / (max(_heap) * _sf * _slots),
-            3,
+            mix_ceiling(reqs240), 3
         )
 
         def _one_continuous_measurement():
@@ -678,16 +676,26 @@ def main() -> None:
             server._results.clear()
             return valid240 / dt
 
+        # PAIRED with a fresh kernel measurement per capture (the same
+        # within-capture discipline as the inproc block above — reusing
+        # kern_rates from the earlier window would let link drift between
+        # the windows masquerade as a serving change).
         _one_continuous_measurement()  # warm the 240-request drain shapes
-        cont_rates = [_one_continuous_measurement() for _ in range(5)]
-        cont_med = sorted(cont_rates)[len(cont_rates) // 2]
-        kern_med = sorted(kern_rates)[len(kern_rates) // 2]
-        result["serving_continuous_samples_per_s"] = round(cont_med)
+        cont_ratios, cont_abs = [], []
+        for _ in range(5):
+            cr = _one_continuous_measurement()
+            kr = _one_kernel_measurement()
+            cont_abs.append(cr)
+            cont_ratios.append(cr / kr)
+        cont_sorted = sorted(cont_ratios)
+        result["serving_continuous_samples_per_s"] = round(
+            sorted(cont_abs)[len(cont_abs) // 2]
+        )
         result["serving_continuous_vs_b32_kernel"] = round(
-            cont_med / kern_med, 3
+            cont_sorted[len(cont_sorted) // 2], 3
         )
         result["serving_continuous_measurements"] = [
-            round(r / kern_med, 3) for r in cont_rates
+            round(r, 3) for r in cont_ratios
         ]
 
         # int8 serving point: 64 slots is at int8's measured crossover

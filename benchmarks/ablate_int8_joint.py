@@ -147,13 +147,11 @@ def make_kernel(B, CHUNK, mode, greedy):
                 onehot = (sample[:, None] == iota).astype(jnp.int8)
                 acc = jnp.dot(onehot, embed_ref[:],
                               preferred_element_type=jnp.int32)
-                if mode == "int8":
-                    # standard scheme: emb_scr carries the int32 acc too,
-                    # dequantized at use (same FLOPs as production which
-                    # dequantizes here — one multiply either way).
-                    emb_scr[:] = acc.astype(jnp.float32)
-                else:
-                    emb_scr[:] = acc.astype(jnp.float32)
+                # Both int8 schemes carry the raw int32 acc in the
+                # scratch and dequantize AT USE in the gate math (one
+                # broadcast multiply either way — same FLOPs as the
+                # production kernel, which dequantizes at the gather).
+                emb_scr[:] = acc.astype(jnp.float32)
 
         def body(k, _):
             step(k)

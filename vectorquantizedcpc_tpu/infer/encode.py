@@ -93,14 +93,30 @@ def encode_dataset(conf: ConfGlobal, batch_size: int = 16) -> int:
     # zeros beyond index T-1, which no valid output window touches.
     lengths = [m.shape[1] for m in mels]
 
-    # Fused LSTM forward on TPU (residual-free kernel; ops/lstm_scan.py) —
-    # the same gating as the trainers and bench, so the shipped export
-    # path runs the advertised kernel.
+    # Compute dtype follows runtime.precision (default bfloat16, exactly
+    # like the trainers and bench; runtime.precision=float32 pins the f32
+    # path for parity work). The fused LSTM forward (residual-free
+    # kernel; ops/lstm_scan.py) engages on TPU under bf16 — its native
+    # precision — so the shipped export path runs the advertised kernel;
+    # VQ distances/argmin and the exported values stay f32 regardless
+    # (encoder_encode casts before vq_encode and on return).
+    import jax.numpy as jnp
+
+    from ..configs import resolve_compute_dtype
+
+    compute_dtype = resolve_compute_dtype(conf.runtime.precision)
     use_pallas = (
-        jax.default_backend() == "tpu" and conf.runtime.use_pallas
+        jax.default_backend() == "tpu"
+        and conf.runtime.use_pallas
+        and compute_dtype == jnp.bfloat16
     )
     encode_fn = jax.jit(
-        partial(encoder_encode, return_pre_vq=True, use_pallas=use_pallas),
+        partial(
+            encoder_encode,
+            compute_dtype=compute_dtype,
+            return_pre_vq=True,
+            use_pallas=use_pallas,
+        ),
         static_argnames=(),
     )
 

@@ -568,8 +568,10 @@ class ContinuousBatcher:
             slots_live[i] = [rid, i, pos, total]  # [rid, row, pos, total]
             rid_row[rid] = i
             rid_total[rid] = total
+            # pos0 for inflight comes from here (compute_drain_schedule
+            # returns pos0 only for freshly admitted rids); rid_sched for
+            # inflight comes from compute_drain_schedule — single source.
             rid_pos0[rid] = pos
-            rid_sched[rid] = (i, 0, -(-(total - pos) // sf))
         # Longest-first (LPT) admission: the drain completes when the last
         # slot finishes, so scheduling long requests first packs the slot
         # pool near the lower bound of ceil(total_segments / slots) steps

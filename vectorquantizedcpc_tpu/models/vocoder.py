@@ -170,8 +170,6 @@ def build_conditioning_frames_ragged(
     cond = jnp.concatenate([z_up, spk_up], axis=-1).astype(compute_dtype)
 
     t = cond.shape[1]
-    from .rnn import gru_step
-
     valid_tg = jnp.arange(t)[:, None] < n_frames[None, :]  # (T, G)
 
     if use_pallas:

@@ -380,6 +380,7 @@ def train_vocoder(
     # timing report at the end of training.
     profile_dir = conf.runtime.profile_dir
     profiling = False
+    profiled = False  # one-shot latch: trace exactly one window
     profile_start = global_step + 3
     simple_profiler = tv.trainer.profiler is not None
     prof_totals = {"data_wait_s": 0.0, "train_dispatch_s": 0.0, "n_steps": 0}
@@ -400,7 +401,10 @@ def train_vocoder(
         t_iter = time.time()
         for group in _grouped(iter(loader), spd):
             prof_totals["data_wait_s"] += time.time() - t_iter
-            if profile_dir and not profiling and global_step >= profile_start:
+            if (
+                profile_dir and not profiled
+                and global_step >= profile_start
+            ):
                 jax.profiler.start_trace(profile_dir)
                 profiling = True
             k = len(group)
