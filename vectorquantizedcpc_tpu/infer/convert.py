@@ -126,7 +126,41 @@ def convert(conf: ConfGlobal, batch_size: int = 8) -> int:
             )
         return vocoder_generate(voc_params, net_conf, indices, spk, rng)
 
+    # Bounded in-flight window (same pipeline as infer/encode.py):
+    # dispatches are async, so the next batches' H2D + encode + AR decode
+    # overlap the previous batches' device_get + loudness match + wav
+    # writes. A per-batch blocking fetch serializes every batch behind a
+    # full link round trip plus the host-side loudness/IO work.
+    from collections import deque
+
+    window = 3
+    pending: "deque" = deque()
     n_done = 0
+
+    def _flush_one() -> int:
+        chunk, res = pending.popleft()
+        waves = jax.device_get(res)
+        done = 0
+        for j, i in enumerate(chunk):
+            # floor(T/2) codes -> x2 cond frames -> x hop samples.
+            n_samples = (
+                (jobs[i]["mel"].shape[1] // 2) * 2
+                * conf.data.dataset.mel_stft_stride
+            )
+            out_wave = np.asarray(waves[j][:n_samples], np.float64)
+            out_loudness = integrated_loudness(out_wave, pp.sr)
+            out_wave = normalize_loudness(
+                out_wave, out_loudness, jobs[i]["loudness"]
+            )
+            write_wav(
+                (out_dir / jobs[i]["out"]).with_suffix(".wav"),
+                out_wave.astype(np.float32),
+                pp.sr,
+            )
+            done += 1
+        return done
+
+    n_dispatched = 0
     for padded_len, idxs in sorted(buckets.items()):
         for b0 in range(0, len(idxs), batch_size):
             chunk = idxs[b0 : b0 + batch_size]
@@ -135,28 +169,18 @@ def convert(conf: ConfGlobal, batch_size: int = 8) -> int:
                 m = jobs[i]["mel"]
                 mels[j, :, : m.shape[1]] = m
             spk = np.asarray([jobs[i]["speaker"] for i in chunk], np.int32)
-
-            waves = jax.device_get(
-                encode_and_generate(
-                    jnp.asarray(mels), jnp.asarray(spk), jax.random.key(n_done)
+            pending.append(
+                (
+                    chunk,
+                    encode_and_generate(
+                        jnp.asarray(mels), jnp.asarray(spk),
+                        jax.random.key(n_dispatched),
+                    ),
                 )
             )
-
-            for j, i in enumerate(chunk):
-                # floor(T/2) codes -> x2 cond frames -> x hop samples.
-                n_samples = (
-                    (jobs[i]["mel"].shape[1] // 2) * 2
-                    * conf.data.dataset.mel_stft_stride
-                )
-                out_wave = np.asarray(waves[j][:n_samples], np.float64)
-                out_loudness = integrated_loudness(out_wave, pp.sr)
-                out_wave = normalize_loudness(
-                    out_wave, out_loudness, jobs[i]["loudness"]
-                )
-                write_wav(
-                    (out_dir / jobs[i]["out"]).with_suffix(".wav"),
-                    out_wave.astype(np.float32),
-                    pp.sr,
-                )
-                n_done += 1
+            n_dispatched += len(chunk)
+            if len(pending) >= window:
+                n_done += _flush_one()
+    while pending:
+        n_done += _flush_one()
     return n_done
